@@ -1,0 +1,171 @@
+"""Good-Feature engine tests — mirrors the reference's test_Jacobian.cpp
+(measurement Jacobian vs numeric differentiation) and test_Greedy.cpp
+(lazier-greedy subset quality vs exhaustive greedy, stochastic regression)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gf_orb_slam_tpu.geometry import camera, linalg, quat, se3
+from gf_orb_slam_tpu.gf import observability, selection
+
+
+def synth_state_and_points(rng, cam, n=120):
+    """EuRoC-intrinsics synthetic fixture (ref test_Greedy.cpp:81-194)."""
+    Xv = np.zeros(13, np.float32)
+    Xv[0:3] = rng.normal(size=3) * 0.3
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    q *= np.sign(q[0])
+    Xv[3:7] = q * 0.0
+    Xv[3] = 1.0  # identity-ish orientation, looking +z
+    Xv[7:10] = rng.normal(size=3) * 0.2
+    Xv[10:13] = rng.normal(size=3) * 0.1
+    Xv = jnp.asarray(Xv)
+
+    # Points in the frustum.
+    uv = rng.uniform([40, 40], [cam.width - 40, cam.height - 40], size=(n, 2))
+    z = rng.uniform(3.0, 15.0, size=n)
+    xc = np.asarray(camera.backproject(cam, jnp.asarray(uv, jnp.float32), jnp.asarray(z, jnp.float32)))
+    # world = R_wr xc + r  (camera orientation = identity here)
+    pts = xc + np.asarray(Xv[0:3])
+    return Xv, jnp.asarray(pts, jnp.float32)
+
+
+class TestJacobians:
+    def test_H_matches_autodiff(self, rng):
+        """H13/H47 vs jax.jacfwd of the projection through the state — the
+        reference's numeric-expectation test (test_Jacobian.cpp:236)."""
+        cam = camera.EUROC_CAM
+        Xv, pts = synth_state_and_points(rng, cam, n=10)
+        # Give the state a non-trivial orientation.
+        qr = np.asarray(quat.v2q(jnp.asarray([0.1, -0.2, 0.15])))
+        Xv = Xv.at[3:7].set(jnp.asarray(qr))
+
+        jac = observability.measurement_jacobians(cam, Xv, pts)
+
+        def proj_of_state(state7, y):
+            r, q = state7[:3], state7[3:7]
+            R_rw = jnp.swapaxes(quat.q2r(q), -1, -2)
+            hrl = R_rw @ (y - r)
+            return jnp.stack(
+                [cam.fx * hrl[0] / hrl[2] + cam.cx, cam.fy * hrl[1] / hrl[2] + cam.cy]
+            )
+
+        state7 = Xv[0:7]
+        for i in range(10):
+            J_num = np.asarray(jax.jacfwd(proj_of_state)(state7, pts[i]))
+            np.testing.assert_allclose(np.asarray(jac.H[i]), J_num, rtol=2e-2, atol=2e-2)
+
+    def test_visibility_gate(self, rng):
+        cam = camera.EUROC_CAM
+        Xv, pts = synth_state_and_points(rng, cam, n=50)
+        behind = pts.at[:, 2].set(-5.0)  # all behind camera
+        jac = observability.measurement_jacobians(cam, Xv, behind)
+        assert not bool(jac.visible.any())
+
+    def test_info_matrices_psd_and_rank(self, rng):
+        cam = camera.EUROC_CAM
+        Xv, pts = synth_state_and_points(rng, cam, n=60)
+        jac = observability.measurement_jacobians(cam, Xv, pts)
+        sigma2 = jnp.ones(60)
+        blocks = observability.info_matrices(observability.whiten(jac.H, sigma2), jac.visible)
+        B = np.asarray(blocks)
+        # Each block PSD with rank ≤ 2.
+        for i in range(10):
+            ev = np.linalg.eigvalsh(B[i])
+            assert ev.min() > -1e-5 * max(ev.max(), 1.0)  # PSD up to f32 roundoff
+            assert (ev > 1e-6 * max(ev.max(), 1)).sum() <= 2
+        # Sum over enough landmarks: observable in 6 dims. The 7th direction
+        # (the quaternion scale gauge — projection is invariant to q → λq) is
+        # null for EVERY landmark, which is why the selection objective adds
+        # the 1e-5·I prior (ref Observability.cc:2861).
+        total = B.sum(axis=0)
+        ev = np.linalg.eigvalsh(total)
+        assert ev[0] < 1e-3 * ev[1]  # the gauge direction
+        assert ev[1] > 1e-2          # everything else observable
+
+    def test_whitening_scales_info(self):
+        H = jnp.ones((3, 2, 7))
+        s2 = jnp.asarray([1.0, 4.0, 0.25])
+        Hw = observability.whiten(H, s2)
+        np.testing.assert_allclose(np.asarray(Hw[1]), 0.5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(Hw[2]), 2.0, atol=1e-6)
+
+
+class TestSelection:
+    def make_blocks(self, rng, cam, n=200):
+        Xv, pts = synth_state_and_points(rng, cam, n=n)
+        jac = observability.measurement_jacobians(cam, Xv, pts)
+        oct_sigma2 = jnp.asarray(rng.choice([1.0, 1.44, 2.07, 2.99], size=n), jnp.float32)
+        H_w = observability.whiten(jac.H, oct_sigma2)
+        return observability.info_matrices(H_w, jac.visible), jac.visible
+
+    def test_greedy_selects_k(self, rng):
+        blocks, valid = self.make_blocks(rng, camera.EUROC_CAM)
+        res = selection.greedy_maxlogdet(blocks, valid, k=60)
+        assert int(res.n_selected) == 60
+        assert np.isfinite(float(res.logdet))
+
+    def test_greedy_beats_random(self, rng):
+        """Greedy logdet must dominate random subsets of the same size."""
+        blocks, valid = self.make_blocks(rng, camera.EUROC_CAM)
+        k = 40
+        res = selection.greedy_maxlogdet(blocks, valid, k=k)
+        rand_lds = []
+        for s in range(10):
+            idx = rng.choice(np.nonzero(np.asarray(valid))[0], k, replace=False)
+            M = selection.PRIOR_EPS * np.eye(7) + np.asarray(blocks)[idx].sum(axis=0)
+            rand_lds.append(np.linalg.slogdet(M)[1])
+        assert float(res.logdet) > max(rand_lds)
+
+    def test_lazier_quality_regression(self, rng):
+        """Reference test_Greedy.cpp:225-279: lazier greedy over many seeds
+        stays within a small logdet degradation of exhaustive greedy and
+        overlaps substantially in the chosen subset."""
+        blocks, valid = self.make_blocks(rng, camera.EUROC_CAM)
+        k = 60
+        exact = selection.greedy_maxlogdet(blocks, valid, k=k)
+        degr, overlaps = [], []
+        for rep in range(20):
+            res = selection.lazier_greedy_maxlogdet(
+                blocks, valid, k=k, key=jax.random.PRNGKey(rep)
+            )
+            assert int(res.n_selected) == k
+            degr.append(float(exact.logdet) - float(res.logdet))
+            overlaps.append(
+                (np.asarray(res.selected) & np.asarray(exact.selected)).sum() / k
+            )
+        assert np.mean(degr) < 0.5, (np.mean(degr), degr[:5])
+        assert np.mean(overlaps) > 0.4, np.mean(overlaps)
+
+    def test_deletion_keeps_best(self, rng):
+        blocks, valid = self.make_blocks(rng, camera.EUROC_CAM, n=100)
+        res = selection.maxvol_deletion(blocks, valid, k_remove=40)
+        n_valid = int(np.asarray(valid).sum())
+        assert int(res.n_selected) == n_valid - 40
+        # Surviving set should beat random survivors.
+        rand = rng.choice(np.nonzero(np.asarray(valid))[0], n_valid - 40, replace=False)
+        M = selection.PRIOR_EPS * np.eye(7) + np.asarray(blocks)[rand].sum(axis=0)
+        assert float(res.logdet) >= np.linalg.slogdet(M)[1] - 1e-3
+
+    def test_grouped_matches_lazier_quality(self, rng):
+        blocks, valid = self.make_blocks(rng, camera.EUROC_CAM)
+        k = 40
+        exact = selection.greedy_maxlogdet(blocks, valid, k=k)
+        res = selection.grouped_lazier_greedy(
+            blocks, valid, k=k, key=jax.random.PRNGKey(0), n_shards=4
+        )
+        assert int(res.n_selected) == k
+        # Sharding the pool trades some quality for parallelism (the reference's
+        # multi-thread variant has the same property); bound the degradation.
+        assert float(exact.logdet) - float(res.logdet) < 2.5
+
+    def test_selection_handles_few_candidates(self, rng):
+        """k larger than the candidate pool: select everything, no NaNs
+        (ref: 'subset limit higher than input lmk number' path)."""
+        blocks, valid = self.make_blocks(rng, camera.EUROC_CAM, n=30)
+        res = selection.greedy_maxlogdet(blocks, valid, k=60)
+        assert int(res.n_selected) == int(np.asarray(valid).sum())
+        assert np.isfinite(float(res.logdet))
