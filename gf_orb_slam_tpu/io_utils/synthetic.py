@@ -1,0 +1,127 @@
+"""Synthetic multi-plane scene renderer with exact ground-truth poses.
+
+Replaces the reference's rosbag-driven evaluation when no dataset is on disk:
+a camera flies through a scene of textured fronto-parallel planes at different
+depths (giving real parallax, so F-initialization and triangulation are
+exercised), each frame rendered by exact ray-plane intersection + bilinear
+texture sampling. Ground truth T_cw per frame enables ATE evaluation of the
+full SLAM pipeline without any external data — the array-renderer equivalent
+of the reference's synthetic-camera test fixtures (test/test_Greedy.cpp:81).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gf_orb_slam_tpu.geometry import quat, se3
+from gf_orb_slam_tpu.geometry.camera import CameraModel
+
+
+class PlaneScene(NamedTuple):
+    textures: jnp.ndarray   # (n_planes, T, T) float32
+    depths: jnp.ndarray     # (n_planes,) plane z in world
+    centers: jnp.ndarray    # (n_planes, 2) world (x, y) of texture center
+    extents: jnp.ndarray    # (n_planes,) half-size in world units
+    tex_size: int
+
+
+def make_scene(
+    seed: int = 0, n_planes: int = 3, tex_size: int = 1024,
+    depths=(6.0, 9.0, 14.0), extents=(5.0, 8.0, 14.0),
+) -> PlaneScene:
+    """Blobby high-contrast textures with fine noise (FAST-friendly)."""
+    rng = np.random.default_rng(seed)
+    texs = []
+    for _ in range(n_planes):
+        t = np.full((tex_size, tex_size), 128.0, np.float32)
+        for _ in range(tex_size // 2):
+            y, x = rng.integers(0, tex_size - 24, 2)
+            sy, sx = rng.integers(6, 24, 2)
+            t[y : y + sy, x : x + sx] = rng.uniform(10, 245)
+        t += rng.uniform(-12, 12, t.shape).astype(np.float32)
+        texs.append(np.clip(t, 0, 255))
+    return PlaneScene(
+        textures=jnp.asarray(np.stack(texs)),
+        depths=jnp.asarray(depths[:n_planes], jnp.float32),
+        centers=jnp.zeros((n_planes, 2), jnp.float32),
+        extents=jnp.asarray(extents[:n_planes], jnp.float32),
+        tex_size=tex_size,
+    )
+
+
+@partial(jax.jit, static_argnames=("cam",))
+def render(scene: PlaneScene, cam: CameraModel, pose_cw: jnp.ndarray) -> jnp.ndarray:
+    """Render one frame: per-pixel ray ↦ nearest plane intersection ↦ bilinear
+    texture sample. (H, W) float32 in [0, 255]."""
+    H, W = cam.height, cam.width
+    yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    # Pixel rays in camera frame (no distortion in the synthetic camera).
+    rx = (xx - cam.cx) / cam.fx
+    ry = (yy - cam.cy) / cam.fy
+    rays_c = jnp.stack([rx, ry, jnp.ones_like(rx)], axis=-1)  # (H, W, 3)
+
+    pose_wc = se3.inverse(pose_cw)
+    C = se3.pose_t(pose_wc)
+    rays_w = quat.rotate(se3.pose_q(pose_wc)[None, None, :], rays_c)
+
+    n_planes = scene.textures.shape[0]
+    tex_px_per_unit = scene.tex_size / (2.0 * scene.extents)
+
+    best_depth = jnp.full((H, W), jnp.inf)
+    out = jnp.full((H, W), 96.0)  # background
+    for p in range(n_planes):
+        d = scene.depths[p]
+        lam = (d - C[2]) / jnp.where(jnp.abs(rays_w[..., 2]) < 1e-9, 1e-9, rays_w[..., 2])
+        Xw = C[None, None, :] + lam[..., None] * rays_w
+        u = (Xw[..., 0] - scene.centers[p, 0] + scene.extents[p]) * tex_px_per_unit[p]
+        v = (Xw[..., 1] - scene.centers[p, 1] + scene.extents[p]) * tex_px_per_unit[p]
+        inside = (
+            (lam > 0.1)
+            & (u >= 0) & (u < scene.tex_size - 1)
+            & (v >= 0) & (v < scene.tex_size - 1)
+        )
+        # Bilinear sample.
+        u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, scene.tex_size - 2)
+        v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, scene.tex_size - 2)
+        fu, fv = u - u0, v - v0
+        t = scene.textures[p]
+        val = (
+            t[v0, u0] * (1 - fu) * (1 - fv)
+            + t[v0, u0 + 1] * fu * (1 - fv)
+            + t[v0 + 1, u0] * (1 - fu) * fv
+            + t[v0 + 1, u0 + 1] * fu * fv
+        )
+        closer = inside & (lam < best_depth)
+        best_depth = jnp.where(closer, lam, best_depth)
+        out = jnp.where(closer, val, out)
+    return out
+
+
+def trajectory(
+    n_frames: int, fps: float = 20.0, radius: float = 1.2, forward: float = 0.4,
+    yaw_amp: float = 0.06,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Smooth figure trajectory: lateral sweep + slight forward/yaw motion.
+
+    Returns (timestamps (F,), poses_cw (F, 7)) as numpy arrays.
+    """
+    ts = np.arange(n_frames, dtype=np.float64) / fps
+    poses = []
+    for i, t in enumerate(ts):
+        phase = 2.0 * np.pi * t / (n_frames / fps)
+        tx = radius * np.sin(phase)
+        ty = 0.25 * radius * np.sin(2.0 * phase)
+        tz = forward * np.sin(phase * 0.5)
+        yaw = yaw_amp * np.sin(phase + 0.5)
+        pitch = 0.4 * yaw_amp * np.cos(phase)
+        q_wc = quat.v2q(jnp.asarray([pitch, yaw, 0.0], jnp.float32))
+        t_wc = jnp.asarray([tx, ty, tz], jnp.float32)
+        pose_wc = se3.make_pose(q_wc, t_wc)
+        poses.append(np.asarray(se3.inverse(pose_wc)))
+    return ts.astype(np.float64), np.stack(poses)

@@ -1,0 +1,375 @@
+"""Full SLAM system orchestration (reference src/main.cc + Tracking::Run +
+LocalMapping::Run wiring).
+
+The reference's three mutex-synchronized threads become host-sequenced calls
+into jitted device programs sharing one functional MapState. The host holds
+only scalars (state machine enum, counters); all geometry lives on device.
+XLA's async dispatch gives tracker/mapper overlap for free on one chip; the
+multi-chip version shards the mapper (parallel/global_ba.py).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gf_orb_slam_tpu.geometry import pwls, se3
+from gf_orb_slam_tpu.geometry.camera import CameraModel
+from gf_orb_slam_tpu.mapping import frame as frame_mod
+from gf_orb_slam_tpu.mapping import keyframe_ops
+from gf_orb_slam_tpu.mapping import map_state as ms
+from gf_orb_slam_tpu.ops import matching, orb
+from gf_orb_slam_tpu.pipeline import tracking
+from gf_orb_slam_tpu.solvers import initializer, local_ba
+
+
+class State(enum.Enum):
+    """ref Tracking.h:163-170 eTrackingState."""
+
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    INITIALIZING = 2
+    WORKING = 3
+    LOST = 4
+
+
+@dataclass
+class SlamConfig:
+    n_features: int = 800
+    n_levels: int = 8
+    scale: float = 1.2
+    fast_threshold: float = 20.0
+    max_keyframes: int = 256
+    max_points: int = 16384
+    use_motion_model: bool = True
+    use_gf: bool = False            # Good-Feature selection in local-map tracking
+    gf_budget: int = 100
+    gf_warmup_frames: int = 40      # ref: GF off for ~5s after init (Tracking.h:104)
+    max_frames_between_kf: int = 12  # ref mMaxFrames = 18*fps/30, scaled down
+    ba_window: int = 8              # local BA camera window
+    ba_fixed: int = 2               # fixed boundary cameras in the window
+    min_init_matches: int = 80
+    triangulate_neighbors: int = 2
+
+
+@dataclass
+class FrameLog:
+    timestamp: float
+    state: str
+    pose_cw: np.ndarray | None
+    n_inliers: int
+    timing_ms: dict = field(default_factory=dict)
+
+
+class SlamSystem:
+    def __init__(self, cam: CameraModel, cfg: SlamConfig | None = None):
+        self.cam = cam
+        self.cfg = cfg or SlamConfig()
+        self.orb_cfg = orb.OrbConfig(
+            n_features=self.cfg.n_features,
+            n_levels=self.cfg.n_levels,
+            scale=self.cfg.scale,
+            fast_threshold=self.cfg.fast_threshold,
+        )
+        # Dedicated initialization extractor with 2x features (ref
+        # mpIniORBextractor, Tracking.cc:520-525).
+        self.init_orb_cfg = self.orb_cfg._replace(n_features=2 * self.cfg.n_features)
+        self.state = State.NO_IMAGES_YET
+        # Keypoint capacity sized for the 2x initialization extractor, whose
+        # frames become the first two keyframes.
+        self.map = ms.empty_map(
+            max_keyframes=self.cfg.max_keyframes,
+            max_points=self.cfg.max_points,
+            max_kps=2 * self.cfg.n_features,
+        )
+        self.frame_id = 0
+        self.last_kf_frame = 0
+        self.last_reloc_frame = -(10**9)
+        self.init_frame = None
+        self.init_ts = None
+        self.last_frame = None
+        self.last_obs = None
+        self.last_pose = None
+        self.last_ts = None
+        self.velocity = None         # (7,) relative pose T_cur_last
+        self.n_ref_tracked = 0
+        self.n_kf = 0
+        self.trajectory: list[tuple[float, np.ndarray]] = []
+        self.logs: list[FrameLog] = []
+        self._key = jax.random.PRNGKey(0)
+        self.frames_since_init = 0
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def process(self, img: jnp.ndarray, timestamp: float) -> FrameLog:
+        cfg_now = (
+            self.init_orb_cfg
+            if self.state in (State.NO_IMAGES_YET, State.NOT_INITIALIZED, State.INITIALIZING)
+            else self.orb_cfg
+        )
+        frame = frame_mod.make_frame(jnp.asarray(img, jnp.float32), self.cam, cfg_now)
+        log = FrameLog(timestamp=timestamp, state=self.state.name, pose_cw=None, n_inliers=0)
+
+        if self.state in (State.NO_IMAGES_YET, State.NOT_INITIALIZED):
+            self._first_initialization(frame, timestamp)
+        elif self.state == State.INITIALIZING:
+            self._initialize(frame, timestamp)
+        elif self.state == State.WORKING:
+            self._track(frame, timestamp, log)
+
+        log.state = self.state.name
+        self.frame_id += 1
+        self.logs.append(log)
+        return log
+
+    # ------------------------------------------------------------------
+    def _first_initialization(self, frame, timestamp):
+        """ref Tracking::FirstInitialization (cc:920-985)."""
+        if int(frame.valid.sum()) > 100:
+            self.init_frame = frame
+            self.init_ts = timestamp
+            self.state = State.INITIALIZING
+
+    def _initialize(self, frame, timestamp):
+        """ref Tracking::Initialize (cc:988-1195) + CreateInitialMap (cc:1199)."""
+        if int(frame.valid.sum()) <= 100:
+            self.state = State.NOT_INITIALIZED
+            return
+        f0 = self.init_frame
+        mask = matching.window_mask(f0.uv, frame.uv, 100.0, f0.valid, frame.valid)
+        # level-0 only, as the reference's SearchForInitialization
+        lvl0 = (f0.octave == 0)[:, None] & (frame.octave == 0)[None, :]
+        res = matching.match(
+            f0.desc, frame.desc, mask & lvl0, max_dist=matching.TH_LOW, ratio=0.9,
+            angle_q=f0.angle, angle_t=frame.angle, mutual=True,
+        )
+        n_matches = int(res.matched.sum())
+        if n_matches < self.cfg.min_init_matches:
+            self.state = State.NOT_INITIALIZED
+            return
+
+        uv2 = frame.uv[res.idx]
+        two = initializer.initialize_two_view(
+            self.cam, f0.uv, uv2, res.matched, self._next_key()
+        )
+        if not bool(two.success):
+            return  # keep trying against the same init frame
+
+        # --- create initial map (2 keyframes + triangulated points) ---
+        tri = np.asarray(two.is_triangulated)
+        X = np.asarray(two.points3d)
+        # Scale normalization by median depth (ref CreateInitialMap's
+        # ComputeSceneMedianDepth scaling, cc:1248-1263).
+        med_depth = float(np.median(X[tri][:, 2]))
+        X = X / med_depth
+        pose1 = se3.identity_pose()
+        pose21 = two.pose21
+        pose2 = se3.make_pose(
+            se3.pose_q(pose21), se3.pose_t(pose21) / med_depth
+        )
+
+        N = frame.capacity
+        m = self.map
+        slots = jnp.arange(N, dtype=jnp.int32)  # first N point slots
+        use = jnp.asarray(tri)
+        obs0 = jnp.where(use, slots, ms.NO_POINT)
+        obs1_scatter = jnp.full((N,), ms.NO_POINT, jnp.int32).at[
+            jnp.where(use, res.idx, N)
+        ].set(jnp.where(use, slots, 0), mode="drop")
+
+        m = ms.add_points(
+            m, slots, jnp.asarray(X, jnp.float32), f0.desc,
+            jnp.zeros((N, 3)), jnp.full((N,), 0.05), jnp.full((N,), 100.0),
+            first_kf=jnp.asarray(0), first_frame=jnp.asarray(self.frame_id),
+            use=use,
+        )
+        m, kf0 = ms.add_keyframe(
+            m, pose1, jnp.asarray(self.frame_id - 1), jnp.asarray(self.init_ts, jnp.float32),
+            f0.uv, f0.octave, f0.angle, f0.desc, f0.valid, obs0,
+        )
+        m, kf1 = ms.add_keyframe(
+            m, pose2, jnp.asarray(self.frame_id), jnp.asarray(timestamp, jnp.float32),
+            frame.uv, frame.octave, frame.angle, frame.desc, frame.valid, obs1_scatter,
+        )
+
+        # Global BA on the initial two views (ref GlobalBundleAdjustemnt 20 it).
+        m = self._run_local_ba(m, [0, 1], fixed_ids=[0], iters=(8, 12))
+        m = ms.refresh_point_stats(m, scale=self.cfg.scale, n_levels=self.cfg.n_levels)
+        self.map = m
+
+        self.last_pose = m.kf_pose[1]
+        self.last_obs = m.kf_obs_point[1]
+        self.last_frame = frame
+        self.last_ts = timestamp
+        self.velocity = se3.identity_pose()
+        self.n_ref_tracked = int((m.kf_obs_point[1] >= 0).sum())
+        self.n_kf = 2
+        self.last_kf_frame = self.frame_id
+        self.frames_since_init = 0
+        self.state = State.WORKING
+        self.trajectory.append((timestamp, np.asarray(self.last_pose)))
+
+    # ------------------------------------------------------------------
+    def _track(self, frame, timestamp, log):
+        cfg = self.cfg
+        dt = max(timestamp - self.last_ts, 1e-6)
+        pose_pred = (
+            se3.compose(self.velocity, self.last_pose)
+            if cfg.use_motion_model and self.velocity is not None
+            else self.last_pose
+        )
+
+        r1 = tracking.track_with_motion_model(
+            self.cam, self.map, frame, pose_pred, self.last_obs, self.last_frame.uv,
+            scale=cfg.scale, n_levels=cfg.n_levels, radius=15.0,
+        )
+        if not bool(r1.ok):
+            # fallback: widened search from the last pose (ref TrackPreviousFrame)
+            r1 = tracking.track_with_motion_model(
+                self.cam, self.map, frame, self.last_pose, self.last_obs,
+                self.last_frame.uv, scale=cfg.scale, n_levels=cfg.n_levels,
+                radius=40.0,
+            )
+        if not bool(r1.ok):
+            self.state = State.LOST
+            return
+
+        # PWLS state for GF Jacobians (two-pose window → predict current).
+        Xv = pwls.state_from_pose_pair(
+            jnp.asarray(self.last_ts, jnp.float32), self.last_pose,
+            jnp.asarray(timestamp, jnp.float32), r1.pose,
+        )
+        use_gf = cfg.use_gf and self.frames_since_init > cfg.gf_warmup_frames
+        r2 = tracking.track_local_map(
+            self.cam, self.map, frame, r1.pose, r1.obs_point, Xv, self._next_key(),
+            scale=cfg.scale, n_levels=cfg.n_levels,
+            gf_budget=cfg.gf_budget, use_gf=use_gf,
+        )
+        if not bool(r2.ok):
+            self.state = State.LOST
+            return
+
+        self.map = tracking.update_point_counters(
+            self.map, r2.visible_points, r2.found_points
+        )
+
+        # velocity: T_cur_last = T_cur_w ∘ T_w_last
+        self.velocity = se3.compose(r2.pose, se3.inverse(self.last_pose))
+        n_inliers = int(r2.n_inliers)
+        log.pose_cw = np.asarray(r2.pose)
+        log.n_inliers = n_inliers
+        self.trajectory.append((timestamp, np.asarray(r2.pose)))
+
+        # keyframe decision
+        if tracking.need_new_keyframe(
+            n_inliers, self.n_ref_tracked,
+            self.frame_id - self.last_kf_frame,
+            self.frame_id - self.last_reloc_frame if self.last_reloc_frame > 0 else 10**9,
+            cfg.max_frames_between_kf,
+        ) and self.n_kf < self.cfg.max_keyframes - 1:
+            self._insert_keyframe(frame, r2, timestamp)
+
+        self.last_pose = r2.pose
+        self.last_obs = r2.obs_point
+        self.last_frame = frame
+        self.last_ts = timestamp
+        self.frames_since_init += 1
+
+    # ------------------------------------------------------------------
+    def _insert_keyframe(self, frame, track_res, timestamp):
+        """ref CreateNewKeyFrame + the LocalMapping::Run pipeline, executed
+        synchronously (device-async under the hood)."""
+        cfg = self.cfg
+        # Pad tracking frames (capacity n_features) to the map's keypoint
+        # capacity (2x, sized for the init extractor).
+        Nm = self.map.kp_capacity
+        pad = Nm - frame.capacity
+
+        def pz(a, fill=0):
+            if pad == 0:
+                return a
+            widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+            return jnp.pad(a, widths, constant_values=fill)
+
+        m, kf_id = ms.add_keyframe(
+            self.map, track_res.pose, jnp.asarray(self.frame_id),
+            jnp.asarray(timestamp, jnp.float32),
+            pz(frame.uv), pz(frame.octave), pz(frame.angle), pz(frame.desc),
+            pz(frame.valid, False), pz(track_res.obs_point, ms.NO_POINT),
+        )
+        kf_int = int(kf_id)
+        self.n_kf += 1
+        self.last_kf_frame = self.frame_id
+        self.n_ref_tracked = int((track_res.obs_point >= 0).sum())
+
+        # --- LocalMapping equivalent ---
+        W = np.asarray(ms.covisibility(m))
+        neighbors = np.argsort(W[kf_int])[::-1][: cfg.triangulate_neighbors]
+        for nb in neighbors:
+            if W[kf_int, nb] < 10:
+                continue
+            m = keyframe_ops.triangulate_between(
+                self.cam, m, kf_id, jnp.asarray(int(nb)), jnp.asarray(self.frame_id),
+                scale=cfg.scale, n_levels=cfg.n_levels,
+            )
+        m = keyframe_ops.cull_points(m, jnp.asarray(kf_int))
+        m = ms.refresh_point_stats(m, scale=cfg.scale, n_levels=cfg.n_levels)
+        m = keyframe_ops.distinctive_descriptors(m)
+
+        # Local BA over the covisibility window.
+        order = np.argsort(W[kf_int])[::-1]
+        window = [kf_int] + [int(k) for k in order if W[kf_int, k] > 0][: cfg.ba_window - 1]
+        # fixed: earliest KFs in the window + always KF 0 if present
+        window_sorted = sorted(set(window))
+        fixed = window_sorted[: cfg.ba_fixed]
+        m = self._run_local_ba(m, window_sorted, fixed_ids=fixed)
+        m = ms.refresh_point_stats(m, scale=cfg.scale, n_levels=cfg.n_levels)
+        self.map = m
+
+    # ------------------------------------------------------------------
+    def _run_local_ba(self, m, kf_ids, fixed_ids, iters=(5, 10)):
+        """Build a BAProblem over the chosen keyframes and write results back."""
+        ids = jnp.asarray(kf_ids, jnp.int32)
+        obs_point = m.kf_obs_point[ids]
+        local_pts = jnp.zeros(m.pt_capacity, bool).at[
+            jnp.maximum(obs_point.reshape(-1), 0)
+        ].max(obs_point.reshape(-1) >= 0)
+        local_pts = local_pts & m.pt_valid
+        sigma2 = jnp.asarray(
+            [self.cfg.scale ** (2 * i) for i in range(self.cfg.n_levels)]
+        )[m.kf_kp_octave[ids]]
+        fixed_mask = jnp.asarray([k in fixed_ids for k in kf_ids])
+        prob = local_ba.BAProblem(
+            poses=m.kf_pose[ids],
+            points=m.pt_pos,
+            fixed=fixed_mask,
+            point_valid=local_pts,
+            obs_uv=m.kf_kp_uv[ids],
+            obs_point=obs_point,
+            obs_w=jnp.where(obs_point >= 0, 1.0 / sigma2, 0.0),
+        )
+        res = local_ba.bundle_adjust(
+            self.cam, prob, iters_stage1=iters[0], iters_stage2=iters[1]
+        )
+        new_points = jnp.where(local_pts[:, None], res.points, m.pt_pos)
+        m = m._replace(
+            kf_pose=m.kf_pose.at[ids].set(res.poses),
+            pt_pos=new_points,
+        )
+        # Drop observations BA classified as outliers.
+        obs_new = jnp.where(res.obs_active, obs_point, ms.NO_POINT)
+        m = m._replace(kf_obs_point=m.kf_obs_point.at[ids].set(obs_new))
+        return m
+
+    # ------------------------------------------------------------------
+    def get_trajectory(self):
+        ts = np.asarray([t for t, _ in self.trajectory])
+        poses = np.stack([p for _, p in self.trajectory]) if self.trajectory else np.zeros((0, 7))
+        return ts, poses

@@ -1,0 +1,267 @@
+"""Per-frame tracking programs (reference src/Tracking.cc:461-917 GrabImage
+path): motion-model tracking, local-map tracking with optional Good-Feature
+selection, and the keyframe decision.
+
+Each function here is one jitted fixed-shape program; the host state machine
+(pipeline/system.py) sequences them. The reference's wall-clock budgets
+(matrix build ≤1ms, selection ≤5ms, matching ≤15ms) become static compute
+budgets: candidate counts, selection rounds, and iteration counts fixed at
+trace time.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gf_orb_slam_tpu.geometry import se3
+from gf_orb_slam_tpu.geometry.camera import CameraModel, project
+from gf_orb_slam_tpu.gf import observability, selection
+from gf_orb_slam_tpu.mapping import map_state as ms
+from gf_orb_slam_tpu.mapping.frame import FrameData
+from gf_orb_slam_tpu.ops import matching
+from gf_orb_slam_tpu.solvers import pose_opt
+
+NO_POINT = ms.NO_POINT
+
+
+class TrackResult(NamedTuple):
+    pose: jnp.ndarray        # (7,) refined T_cw
+    obs_point: jnp.ndarray   # (N,) map-point id per keypoint (post-opt inliers)
+    n_matches: jnp.ndarray   # () int32 — tentative matches fed to the optimizer
+    n_inliers: jnp.ndarray   # () int32
+    ok: jnp.ndarray          # () bool — thresholds passed
+
+
+def _level_sigma2(scale: float, n_levels: int):
+    return jnp.asarray([scale ** (2 * i) for i in range(n_levels)], jnp.float32)
+
+
+def _predict_octave(dist, max_dist, scale: float, n_levels: int):
+    """ref MapPoint::PredictScale: level from distance ratio."""
+    ratio = jnp.maximum(max_dist / jnp.maximum(dist, 1e-9), 1e-9)
+    return jnp.clip(
+        jnp.ceil(jnp.log(ratio) / jnp.log(scale)).astype(jnp.int32), 0, n_levels - 1
+    )
+
+
+@partial(jax.jit, static_argnames=("cam", "scale", "n_levels", "radius", "min_inliers"))
+def track_with_motion_model(
+    cam: CameraModel,
+    m: ms.MapState,
+    frame: FrameData,
+    pose_pred: jnp.ndarray,
+    last_obs_point: jnp.ndarray,   # (N,) point ids matched in the previous frame
+    last_uv: jnp.ndarray,          # (N, 2) their pixel locations last frame
+    scale: float = 1.2,
+    n_levels: int = 8,
+    radius: float = 15.0,
+    min_inliers: int = 10,
+) -> TrackResult:
+    """ref Tracking::TrackWithMotionModel (cc:1506-1645): project last frame's
+    map points through the constant-velocity pose prediction, search ±radius,
+    pose-optimize, scrub outliers."""
+    N = frame.capacity
+    lp = jnp.maximum(last_obs_point, 0)
+    has_pt = (last_obs_point >= 0) & m.pt_valid[lp]
+    pts = m.pt_pos[lp]
+
+    xc = se3.transform_point(pose_pred, pts)
+    uv_proj, depth, front = project(cam, xc)
+    proj_ok = has_pt & front
+
+    # Octave-scaled search radius around the projection.
+    pred_oct = _predict_octave(
+        jnp.linalg.norm(pts - se3.pose_t(se3.inverse(pose_pred))[None, :], axis=-1),
+        m.pt_max_dist[lp], scale, n_levels,
+    )
+    sf = jnp.asarray([scale**i for i in range(n_levels)])
+    rad = radius * sf[pred_oct]
+
+    pmask = matching.projection_mask(
+        uv_proj, proj_ok, frame.uv, frame.octave, frame.valid, rad, pred_oct
+    )
+    res = matching.match(
+        m.pt_desc[lp], frame.desc, pmask,
+        max_dist=matching.TH_HIGH, ratio=0.9, mutual=True,
+    )
+    hit = res.matched & proj_ok
+
+    # Scatter point ids onto the frame's keypoint slots.
+    obs = jnp.full((N,), NO_POINT, jnp.int32)
+    obs = obs.at[jnp.where(hit, res.idx, N)].set(
+        jnp.where(hit, last_obs_point, 0), mode="drop"
+    )
+    n_matches = jnp.sum((obs >= 0).astype(jnp.int32))
+
+    # Pose optimization over the matched observations.
+    op = jnp.maximum(obs, 0)
+    valid_obs = obs >= 0
+    sigma2 = _level_sigma2(scale, n_levels)[frame.octave]
+    result = pose_opt.optimize_pose(
+        cam, pose_pred, m.pt_pos[op], frame.uv, 1.0 / sigma2, valid_obs
+    )
+    obs_final = jnp.where(result.inliers, obs, NO_POINT)
+    ok = (n_matches >= 20) & (result.n_inliers >= min_inliers)
+    return TrackResult(
+        pose=result.pose,
+        obs_point=obs_final,
+        n_matches=n_matches,
+        n_inliers=result.n_inliers,
+        ok=ok,
+    )
+
+
+class LocalMapTrackResult(NamedTuple):
+    pose: jnp.ndarray
+    obs_point: jnp.ndarray
+    n_inliers: jnp.ndarray
+    ok: jnp.ndarray
+    local_points: jnp.ndarray   # (P,) bool — the local map used
+    gf_selected: jnp.ndarray    # (P,) bool — GF-selected subset (all-False if off)
+    visible_points: jnp.ndarray  # (P,) bool — frustum-visible this frame
+    found_points: jnp.ndarray    # (P,) bool — matched this frame
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cam", "scale", "n_levels", "radius", "min_inliers", "gf_budget", "use_gf",
+    ),
+)
+def track_local_map(
+    cam: CameraModel,
+    m: ms.MapState,
+    frame: FrameData,
+    pose: jnp.ndarray,
+    obs_point: jnp.ndarray,     # (N,) current matches from initial tracking
+    Xv: jnp.ndarray,            # (13,) PWLS state for GF Jacobians
+    gf_key: jnp.ndarray,
+    scale: float = 1.2,
+    n_levels: int = 8,
+    radius: float = 3.0,
+    min_inliers: int = 15,
+    gf_budget: int = 100,
+    use_gf: bool = False,
+) -> LocalMapTrackResult:
+    """ref Tracking::TrackLocalMap (cc:2732-2830) + SearchReferencePointsInFrustum
+    (cc:3149-3360): gather the covisibility-local map, frustum-filter, match by
+    projection (optionally restricted to the Max-logDet GF subset), optimize.
+    """
+    N = frame.capacity
+    P = m.pt_capacity
+
+    # --- local map: points seen by keyframes that share points with the frame ---
+    A = ms.incidence(m)                       # (K, P)
+    cur_pts = jnp.zeros((P,), bool).at[jnp.maximum(obs_point, 0)].max(obs_point >= 0)
+    kf_shares = (A & cur_pts[None, :]).sum(axis=1)        # (K,)
+    local_kfs = kf_shares > 0
+    local_pts = (A & local_kfs[:, None]).any(axis=0) & m.pt_valid
+    # Exclude points already matched (they are added directly to the optimizer).
+    search_pts = local_pts & ~cur_pts
+
+    # --- frustum check (ref Frame::isInFrustum) ---
+    xc = se3.transform_point(pose, m.pt_pos)
+    uv_proj, depth, front = project(cam, xc)
+    centers = se3.pose_t(se3.inverse(pose))
+    view = m.pt_pos - centers[None, :]
+    dist = jnp.linalg.norm(view, axis=-1)
+    cos_view = jnp.sum(view * m.pt_normal, axis=-1) / jnp.maximum(dist, 1e-9)
+    in_img = (
+        (uv_proj[:, 0] >= 0) & (uv_proj[:, 0] < cam.width)
+        & (uv_proj[:, 1] >= 0) & (uv_proj[:, 1] < cam.height)
+    )
+    in_range = (dist >= m.pt_min_dist) & (dist <= m.pt_max_dist)
+    visible = search_pts & front & in_img & in_range & (cos_view > 0.5)
+
+    # --- optional Good-Feature subset selection over the visible candidates ---
+    if use_gf:
+        jac = observability.measurement_jacobians(cam, Xv, m.pt_pos)
+        sigma2_pt = jnp.ones((P,))  # per-point σ² prior (octave applied at match time)
+        blocks = observability.info_matrices(
+            observability.whiten(jac.H, sigma2_pt), visible & jac.visible
+        )
+        sel = selection.lazier_greedy_maxlogdet(
+            blocks, visible & jac.visible, k=gf_budget, key=gf_key
+        )
+        match_pts = sel.selected
+        gf_selected = sel.selected
+    else:
+        match_pts = visible
+        gf_selected = jnp.zeros((P,), bool)
+
+    # --- projection matching of candidates into the frame ---
+    pred_oct = _predict_octave(dist, m.pt_max_dist, scale, n_levels)
+    sf = jnp.asarray([scale**i for i in range(n_levels)])
+    rad = radius * sf[pred_oct]
+    # Wider radius when the viewing angle is large (ref th=5 if cos<0.998).
+    rad = jnp.where(cos_view < 0.998, rad * (5.0 / 3.0), rad)
+
+    free_kp = frame.valid & (obs_point == NO_POINT)
+    pmask = matching.projection_mask(
+        uv_proj, match_pts, frame.uv, frame.octave, free_kp, rad, pred_oct
+    )
+    res = matching.match(
+        m.pt_desc, frame.desc, pmask, max_dist=matching.TH_HIGH, ratio=0.8,
+        mutual=True,
+    )
+    hit = res.matched & match_pts
+
+    obs = obs_point
+    obs = obs.at[jnp.where(hit, res.idx, N)].set(
+        jnp.where(hit, jnp.arange(P, dtype=jnp.int32), 0), mode="drop"
+    )
+
+    # --- pose optimization over all matches ---
+    op = jnp.maximum(obs, 0)
+    valid_obs = obs >= 0
+    sigma2 = _level_sigma2(scale, n_levels)[frame.octave]
+    result = pose_opt.optimize_pose(
+        cam, pose, m.pt_pos[op], frame.uv, 1.0 / sigma2, valid_obs
+    )
+    obs_final = jnp.where(result.inliers, obs, NO_POINT)
+
+    found = jnp.zeros((P,), bool).at[jnp.maximum(obs_final, 0)].max(obs_final >= 0)
+    ok = result.n_inliers >= min_inliers
+    return LocalMapTrackResult(
+        pose=result.pose,
+        obs_point=obs_final,
+        n_inliers=result.n_inliers,
+        ok=ok,
+        local_points=local_pts,
+        gf_selected=gf_selected,
+        visible_points=visible,
+        found_points=found,
+    )
+
+
+@jax.jit
+def update_point_counters(
+    m: ms.MapState, visible: jnp.ndarray, found: jnp.ndarray
+) -> ms.MapState:
+    """ref MapPoint::IncreaseVisible/IncreaseFound bookkeeping."""
+    return m._replace(
+        pt_visible=m.pt_visible + visible.astype(jnp.int32),
+        pt_found=m.pt_found + found.astype(jnp.int32),
+    )
+
+
+def need_new_keyframe(
+    n_inliers: int,
+    n_ref_tracked: int,
+    frames_since_kf: int,
+    frames_since_reloc: int,
+    max_frames: int,
+    min_frames: int = 0,
+) -> bool:
+    """ref Tracking::NeedNewKeyFrame (cc:3035-3077), host-side scalar logic:
+    insert when the map is getting stale or tracking weakens vs the reference
+    keyframe."""
+    if frames_since_reloc < max_frames:
+        return False
+    c1 = frames_since_kf >= max_frames
+    c2 = frames_since_kf >= min_frames and n_inliers < 0.9 * n_ref_tracked
+    return (c1 or c2) and n_inliers >= 15

@@ -1,0 +1,103 @@
+"""End-to-end SLAM pipeline tests on rendered synthetic sequences — the
+'benchmark-as-test' pattern of the reference's batch scripts (SURVEY.md §4),
+with the rendered multi-plane scene replacing rosbag playback."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gf_orb_slam_tpu.geometry import se3
+from gf_orb_slam_tpu.geometry.camera import CameraModel
+from gf_orb_slam_tpu.io_utils import evaluation, synthetic
+from gf_orb_slam_tpu.pipeline.system import SlamConfig, SlamSystem
+
+CAM = CameraModel(fx=458.0, fy=458.0, cx=376.0, cy=240.0, width=752, height=480, fps=20.0)
+
+
+def run_sequence(cfg: SlamConfig, n_frames: int = 40, seed: int = 0):
+    scene = synthetic.make_scene(seed=seed)
+    ts, poses_gt = synthetic.trajectory(n_frames, fps=20.0)
+    system = SlamSystem(CAM, cfg)
+    for i in range(n_frames):
+        img = synthetic.render(scene, CAM, jnp.asarray(poses_gt[i]))
+        system.process(img, float(ts[i]))
+    est_ts, est_poses = system.get_trajectory()
+    if len(est_poses) < 5:
+        return system, None
+    est_pos = np.stack(
+        [np.asarray(se3.pose_t(se3.inverse(jnp.asarray(p)))) for p in est_poses]
+    )
+    t2i = {round(t, 4): i for i, t in enumerate(ts)}
+    gt_pos = np.stack(
+        [
+            np.asarray(se3.pose_t(se3.inverse(jnp.asarray(poses_gt[t2i[round(t, 4)]]))))
+            for t in est_ts
+        ]
+    )
+    return system, evaluation.ate_rmse(est_pos, gt_pos)
+
+
+@pytest.mark.slow
+class TestEndToEnd:
+    def test_vo_baseline(self):
+        """Plain ORB-SLAM path (GF off) — BASELINE.json config 1 analogue."""
+        system, rmse = run_sequence(SlamConfig(n_features=600, max_frames_between_kf=8))
+        assert rmse is not None, "tracking failed"
+        assert len(system.trajectory) > 30
+        assert system.n_kf >= 4
+        assert int(system.map.pt_valid.sum()) > 150
+        assert rmse < 0.05, f"ATE {rmse*100:.1f} cm too high"
+
+    def test_vo_with_gf_selection(self):
+        """GF active matching at budget 100 — accuracy within 2x of baseline
+        with a bounded match budget (the GF tradeoff property)."""
+        system, rmse = run_sequence(
+            SlamConfig(
+                n_features=600, max_frames_between_kf=8,
+                use_gf=True, gf_budget=100, gf_warmup_frames=10,
+            )
+        )
+        assert rmse is not None, "tracking failed with GF"
+        assert rmse < 0.08, f"GF ATE {rmse*100:.1f} cm too high"
+
+
+class TestEvaluation:
+    def test_umeyama_recovers_similarity(self, rng):
+        src = rng.normal(size=(50, 3))
+        R_gt = np.asarray(
+            [[0, -1, 0], [1, 0, 0], [0, 0, 1]], float
+        )
+        dst = 2.5 * (R_gt @ src.T).T + np.asarray([1.0, -2.0, 3.0])
+        s, R, t = evaluation.umeyama_alignment(src, dst)
+        np.testing.assert_allclose(s, 2.5, rtol=1e-5)
+        np.testing.assert_allclose(R, R_gt, atol=1e-6)
+        assert evaluation.ate_rmse(src, dst) < 1e-5
+
+    def test_tum_trajectory_roundtrip(self, tmp_path):
+        ts = np.asarray([0.0, 0.05])
+        poses = np.asarray([[1, 0, 0, 0, 0.1, 0.2, 0.3], [1, 0, 0, 0, 0.2, 0.3, 0.4]], np.float32)
+        path = tmp_path / "traj.txt"
+        evaluation.write_tum_trajectory(str(path), ts, poses)
+        lines = path.read_text().strip().split("\n")
+        assert len(lines) == 2
+        vals = np.asarray([float(x) for x in lines[0].split()])
+        assert vals.shape == (8,)
+
+
+class TestSyntheticRenderer:
+    def test_render_shapes_and_texture(self):
+        scene = synthetic.make_scene(seed=1)
+        img = synthetic.render(scene, CAM, se3.identity_pose())
+        assert img.shape == (480, 752)
+        a = np.asarray(img)
+        assert a.std() > 20  # textured, not flat
+
+    def test_parallax_between_planes(self):
+        """Camera translation shifts near-plane texture more than far-plane."""
+        scene = synthetic.make_scene(seed=1)
+        p0 = se3.identity_pose()
+        p1 = se3.make_pose(jnp.asarray([1.0, 0, 0, 0.0]), jnp.asarray([-0.3, 0.0, 0.0]))
+        i0 = np.asarray(synthetic.render(scene, CAM, p0))
+        i1 = np.asarray(synthetic.render(scene, CAM, p1))
+        assert np.abs(i0 - i1).mean() > 5  # scene moved
