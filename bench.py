@@ -1,0 +1,99 @@
+"""Benchmark: end-to-end monocular SLAM tracking throughput on one chip.
+
+Runs the full pipeline (ORB extraction → motion-model tracking → local-map
+tracking → keyframe/local-mapping work as scheduled) over a rendered synthetic
+sequence and reports steady-state tracking frames/s.
+
+Baseline: the reference (GF-ORB-SLAM, C++ on desktop CPU) tracks in real time
+at ~30 Hz with the same per-frame feature load (SURVEY.md §6); vs_baseline is
+frames/s ÷ 30. Prints exactly one JSON line.
+"""
+
+import json
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gf_orb_slam_tpu.geometry.camera import CameraModel
+    from gf_orb_slam_tpu.io_utils import synthetic
+    from gf_orb_slam_tpu.pipeline.system import SlamConfig, SlamSystem
+
+    cam = CameraModel(
+        fx=458.0, fy=458.0, cx=376.0, cy=240.0, width=752, height=480, fps=20.0
+    )
+    n_frames = 80
+    warmup_frames = 25
+
+    scene = synthetic.make_scene(seed=0)
+    ts, poses_gt = synthetic.trajectory(n_frames, fps=20.0)
+
+    # Pre-render all frames (rendering is not part of tracking latency) and
+    # materialize on device.
+    frames = []
+    for i in range(n_frames):
+        img = synthetic.render(scene, cam, jnp.asarray(poses_gt[i]))
+        img.block_until_ready()
+        frames.append(img)
+
+    system = SlamSystem(
+        cam,
+        SlamConfig(n_features=800, max_frames_between_kf=10, use_gf=False),
+    )
+
+    # Warmup: initialization + first compiles.
+    for i in range(warmup_frames):
+        system.process(frames[i], float(ts[i]))
+
+    n_tracked = 0
+    t0 = time.perf_counter()
+    for i in range(warmup_frames, n_frames):
+        log = system.process(frames[i], float(ts[i]))
+        if log.pose_cw is not None:
+            n_tracked += 1
+    jax.block_until_ready(system.map.kf_pose)
+    elapsed = time.perf_counter() - t0
+
+    measured = n_frames - warmup_frames
+    fps = measured / elapsed if elapsed > 0 else 0.0
+    baseline_fps = 30.0  # reference: real-time ~30 Hz tracking on desktop CPU
+    print(
+        json.dumps(
+            {
+                "metric": "tracking_frames_per_second",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / baseline_fps, 3),
+                "detail": {
+                    "frames_measured": measured,
+                    "frames_tracked": n_tracked,
+                    "n_features": 800,
+                    "map_points": int(system.map.pt_valid.sum()),
+                    "keyframes": system.n_kf,
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — the driver needs a JSON line either way
+        print(
+            json.dumps(
+                {
+                    "metric": "tracking_frames_per_second",
+                    "value": 0.0,
+                    "unit": "frames/s",
+                    "vs_baseline": 0.0,
+                    "error": f"{type(e).__name__}: {e}",
+                }
+            )
+        )
+        sys.exit(1)
