@@ -107,26 +107,35 @@ def r2q(R: jnp.ndarray) -> jnp.ndarray:
 def v2q(v: jnp.ndarray) -> jnp.ndarray:
     """Rotation vector → quaternion (ref Util.hpp:316-333 v2q), batched & smooth.
 
-    Uses the sinc form so it is differentiable at ||v|| = 0.
+    Differentiable at ||v|| = 0: the norm is computed from a clamped square
+    ("double-where") so autodiff never sees sqrt'(0), and the small-angle
+    branch provides the correct series value & derivative.
     """
-    a = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    a2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    small = a2 < _EPS * _EPS
+    a = jnp.sqrt(jnp.where(small, 1.0, a2))  # safe: gradient finite everywhere
     half = 0.5 * a
-    # sin(a/2)/a, with the a→0 limit 1/2 handled via the series.
-    small = a < _EPS
-    sinc_half = jnp.where(small, 0.5 - a * a / 48.0, jnp.sin(half) / jnp.where(small, 1.0, a))
-    w = jnp.cos(half)
+    sinc_half = jnp.where(small, 0.5 - a2 / 48.0, jnp.sin(half) / a)
+    w = jnp.where(small, 1.0 - a2 / 8.0, jnp.cos(half))
     xyz = v * sinc_half
     return jnp.concatenate([w, xyz], axis=-1)
 
 
 def q2v(q: jnp.ndarray) -> jnp.ndarray:
-    """Quaternion → rotation vector (log map), batched & stable near identity."""
+    """Quaternion → rotation vector (log map), batched, differentiable at
+    identity (double-where on the vector-part norm)."""
     q = qnormalize(q)
     q = q * jnp.where(q[..., :1] < 0.0, -1.0, 1.0)
     w = jnp.clip(q[..., :1], -1.0, 1.0)
-    vn = jnp.linalg.norm(q[..., 1:], axis=-1, keepdims=True)
+    vn2 = jnp.sum(q[..., 1:] * q[..., 1:], axis=-1, keepdims=True)
+    small = vn2 < _EPS * _EPS
+    vn = jnp.sqrt(jnp.where(small, 1.0, vn2))
     angle = 2.0 * jnp.arctan2(vn, w)
-    scale = jnp.where(vn < _EPS, 2.0 / jnp.maximum(w, _EPS), angle / jnp.where(vn < _EPS, 1.0, vn))
+    # small-angle series: scale = 2/w · (1 − vn²/(3w²)) → 2/w at vn→0
+    scale = jnp.where(
+        small, 2.0 / jnp.maximum(w, _EPS) * (1.0 - vn2 / (3.0 * jnp.maximum(w * w, _EPS))),
+        angle / vn,
+    )
     return q[..., 1:] * scale
 
 

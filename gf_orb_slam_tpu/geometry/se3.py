@@ -90,13 +90,14 @@ def hat(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
-    """Rodrigues' formula with series fallback near 0, (..., 3) → (..., 3, 3)."""
+    """Rodrigues' formula, series fallback near 0, autodiff-safe (double-where
+    on θ² so sqrt never sees 0). (..., 3) → (..., 3, 3)."""
     theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
-    small = theta < _EPS
-    safe = jnp.where(small, 1.0, theta)
-    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / safe)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2))
+    small = theta2 < _EPS * _EPS
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
+    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
     W = hat(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + A * W + B * (W @ W)
@@ -107,14 +108,16 @@ def log_so3(R: jnp.ndarray) -> jnp.ndarray:
 
 
 def exp_se3(xi: jnp.ndarray) -> jnp.ndarray:
-    """se(3) exp: xi = [rho(3), phi(3)] → 7-vec pose. Left-jacobian on rho."""
+    """se(3) exp: xi = [rho(3), phi(3)] → 7-vec pose. Autodiff-safe at 0."""
     rho, phi = xi[..., :3], xi[..., 3:6]
     theta2 = jnp.sum(phi * phi, axis=-1)[..., None, None]
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
-    small = theta < _EPS
-    safe2 = jnp.where(small, 1.0, theta2)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe2)
-    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (safe2 * jnp.where(small, 1.0, theta)))
+    small = theta2 < _EPS * _EPS
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
+    C = jnp.where(
+        small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2_safe * theta)
+    )
     W = hat(phi)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
     V = eye + B * W + C * (W @ W)

@@ -79,7 +79,10 @@ def exp(xi: jnp.ndarray) -> jnp.ndarray:
     s = jnp.exp(sigma)
     q = quat.v2q(phi)
 
-    theta = jnp.linalg.norm(phi, axis=-1)
+    # Autodiff-safe norm (double-where: sqrt never differentiates at 0).
+    theta2_raw = jnp.sum(phi * phi, axis=-1)
+    theta = jnp.sqrt(jnp.where(theta2_raw < _EPS * _EPS, 1.0, theta2_raw))
+    theta = jnp.where(theta2_raw < _EPS * _EPS, 0.0, theta)
     W = se3.hat(phi)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
 

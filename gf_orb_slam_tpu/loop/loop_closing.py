@@ -1,0 +1,183 @@
+"""Loop closing pipeline (reference src/LoopClosing.cc:63-618).
+
+Three phases per keyframe, mirroring DetectLoop → ComputeSim3 → CorrectLoop,
+each as jitted device programs orchestrated by pipeline/system.py (the
+reference's dedicated thread + stop/release handshake with LocalMapping
+becomes a plain sequenced call — the functional MapState makes the
+mutex-and-abort protocol unnecessary):
+
+1. detect: BoW candidates (retrieval/keyframe_db) with temporal consistency
+   (the reference's 3-consecutive-keyframe group consistency check is kept as
+   host-side scalar logic over candidate sets).
+2. verify: BoW-gated descriptor matching between the query keyframe and the
+   candidate → Sim3 RANSAC over the matched map-point pairs (solvers/
+   sim3_solver) → accept at ≥20 inliers (ref LoopClosing.cc:398).
+3. correct: propagate the corrective Sim3 to the query's covisible group,
+   update their map points, then run the essential-graph Sim3 pose-graph
+   optimization (solvers/pose_graph) and map-point re-anchoring.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gf_orb_slam_tpu.geometry import se3, sim3 as s3
+from gf_orb_slam_tpu.geometry.camera import CameraModel
+from gf_orb_slam_tpu.mapping import map_state as ms
+from gf_orb_slam_tpu.ops import matching
+from gf_orb_slam_tpu.retrieval import keyframe_db as kdb
+from gf_orb_slam_tpu.solvers import pose_graph, sim3_solver
+
+
+class LoopMatch(NamedTuple):
+    ok: jnp.ndarray
+    S12: jnp.ndarray          # Sim3: candidate-KF camera → query-KF camera
+    n_inliers: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("cam", "scale", "n_levels"))
+def verify_candidate(
+    cam: CameraModel,
+    m: ms.MapState,
+    db: kdb.BowDatabase,
+    query_kf: jnp.ndarray,
+    cand_kf: jnp.ndarray,
+    key: jnp.ndarray,
+    scale: float = 1.2,
+    n_levels: int = 8,
+) -> LoopMatch:
+    """ComputeSim3 for one candidate: BoW-gated matching of the two keyframes'
+    map points, then Sim3 RANSAC on the matched 3D-3D pairs."""
+    N = m.kp_capacity
+
+    # BoW-gated descriptor matching between keypoints WITH map points.
+    has1 = m.kf_kp_valid[query_kf] & (m.kf_obs_point[query_kf] >= 0)
+    has2 = m.kf_kp_valid[cand_kf] & (m.kf_obs_point[cand_kf] >= 0)
+    mask = kdb.bow_match_mask(
+        db.mid_nodes[query_kf], db.mid_nodes[cand_kf], has1, has2
+    )
+    res = matching.match(
+        m.kf_kp_desc[query_kf], m.kf_kp_desc[cand_kf], mask,
+        max_dist=matching.TH_LOW, ratio=0.75,
+        angle_q=m.kf_kp_angle[query_kf], angle_t=m.kf_kp_angle[cand_kf],
+        mutual=True,
+    )
+    matched = res.matched & has1
+
+    # 3D points of both sides in their local camera frames.
+    p1_ids = jnp.maximum(m.kf_obs_point[query_kf], 0)
+    p2_ids = jnp.maximum(m.kf_obs_point[cand_kf][res.idx], 0)
+    good = matched & m.pt_valid[p1_ids] & m.pt_valid[p2_ids]
+    x1 = se3.transform_point(m.kf_pose[query_kf], m.pt_pos[p1_ids])
+    x2 = se3.transform_point(m.kf_pose[cand_kf], m.pt_pos[p2_ids])
+    uv1 = m.kf_kp_uv[query_kf]
+    uv2 = m.kf_kp_uv[cand_kf][res.idx]
+    sigma2 = jnp.asarray([scale ** (2 * i) for i in range(n_levels)])
+    s1 = sigma2[m.kf_kp_octave[query_kf]]
+    s2 = sigma2[m.kf_kp_octave[cand_kf][res.idx]]
+
+    sres = sim3_solver.solve_sim3_ransac(
+        cam, x1, x2, uv1, uv2, s1, s2, good, key, min_inliers=20
+    )
+    return LoopMatch(ok=sres.ok, S12=sres.S12, n_inliers=sres.n_inliers)
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def correct_loop(
+    m: ms.MapState,
+    query_kf: jnp.ndarray,
+    loop_kf: jnp.ndarray,
+    S_query_loop: jnp.ndarray,   # Sim3 mapping loop-KF camera coords → query-KF camera coords
+    covis: jnp.ndarray,
+    n_iters: int = 20,
+) -> ms.MapState:
+    """CorrectLoop (ref LoopClosing.cc:412-571): compute the corrected Sim3
+    for the query keyframe, run the essential-graph optimization with the new
+    loop edge, and re-anchor map points via their reference keyframes."""
+    K = m.kf_capacity
+
+    # Current S_cw estimates (unit scale).
+    S_cw = s3.from_se3(m.kf_pose)                     # (K, 8)
+
+    # Corrected pose of the query: S_query_w^corr = S_query_loop ∘ S_loop_w.
+    S_qw_corr = s3.compose(S_query_loop, S_cw[loop_kf])
+
+    # Pre-correction relative measurements; query vertex moved to corrected.
+    poses0 = S_cw.at[query_kf].set(S_qw_corr)
+
+    parent = ms.spanning_tree_parent(m, covis)
+    loop_i = jnp.asarray([0], jnp.int32).at[0].set(loop_kf)
+    loop_j = jnp.asarray([0], jnp.int32).at[0].set(query_kf)
+    loop_valid = jnp.ones(1, bool)
+
+    edge_i, edge_j, meas, edge_valid, weight = pose_graph.build_essential_edges(
+        covis, parent, m.kf_valid, loop_i, loop_j, loop_valid, S_cw
+    )
+    # The loop edge measurement is the VERIFIED relative Sim3, not the drifted
+    # estimate: S_query_loop maps loop-cam → query-cam.
+    n_static = edge_i.shape[0]
+    meas = meas.at[n_static - 1].set(S_query_loop)
+
+    prob = pose_graph.PoseGraphProblem(
+        poses=poses0,
+        fixed=jnp.zeros(K, bool).at[loop_kf].set(True),
+        vertex_valid=m.kf_valid,
+        edge_i=edge_i,
+        edge_j=edge_j,
+        edge_meas=meas,
+        edge_valid=edge_valid,
+        edge_weight=weight,
+    )
+    S_opt = pose_graph.optimize_pose_graph(prob, n_iters=n_iters)
+
+    # Re-anchor map points: move each point with its reference keyframe
+    # (first observer): X' = S_opt_wc (S_old_cw (X)) — the reference's
+    # CorrectedSim3 point update (LoopClosing.cc:445-467) applied globally.
+    A = ms.incidence(m)
+    first_kf = jnp.argmax(A, axis=0)                  # (P,)
+    has_obs = A.any(axis=0)
+    S_old = S_cw[first_kf]                            # (P, 8)
+    S_new_wc = s3.inverse(S_opt)[first_kf]
+    x_cam = s3.transform_point(S_old, m.pt_pos)
+    x_new = s3.transform_point(S_new_wc, x_cam)
+    new_pos = jnp.where(has_obs[:, None] & m.pt_valid[:, None], x_new, m.pt_pos)
+
+    # Write back keyframe SE3 poses (scale folded into translation).
+    new_kf_pose = s3.to_se3(S_opt)
+    new_kf_pose = jnp.where(m.kf_valid[:, None], new_kf_pose, m.kf_pose)
+    return m._replace(kf_pose=new_kf_pose, pt_pos=new_pos)
+
+
+class LoopDetector:
+    """Host-side temporal-consistency bookkeeping (ref DetectLoop's
+    mvConsistentGroups logic, LoopClosing.cc:160-238)."""
+
+    def __init__(self, consistency_threshold: int = 3):
+        self.consistency_threshold = consistency_threshold
+        self.prev_groups: list[tuple[set, int]] = []  # (covisible-group, streak)
+
+    def update(self, cand_ids, cand_ok, covis_row_of) -> list[int]:
+        """Returns candidate keyframes whose group has been consistent for
+        ≥ threshold consecutive detections."""
+        consistent = []
+        new_groups: list[tuple[set, int]] = []
+        for c, ok in zip(cand_ids, cand_ok):
+            if not ok:
+                continue
+            group = set(covis_row_of(int(c))) | {int(c)}
+            streak = 0
+            for prev_set, prev_streak in self.prev_groups:
+                if group & prev_set:
+                    streak = max(streak, prev_streak + 1)
+            new_groups.append((group, streak))
+            if streak + 1 >= self.consistency_threshold:
+                consistent.append(int(c))
+        self.prev_groups = new_groups
+        return consistent
+
+    def reset(self):
+        self.prev_groups = []

@@ -19,12 +19,15 @@ import numpy as np
 
 from gf_orb_slam_tpu.geometry import pwls, se3
 from gf_orb_slam_tpu.geometry.camera import CameraModel
+from gf_orb_slam_tpu.loop import loop_closing
 from gf_orb_slam_tpu.mapping import frame as frame_mod
 from gf_orb_slam_tpu.mapping import keyframe_ops
 from gf_orb_slam_tpu.mapping import map_state as ms
 from gf_orb_slam_tpu.ops import matching, orb
 from gf_orb_slam_tpu.pipeline import tracking
-from gf_orb_slam_tpu.solvers import initializer, local_ba
+from gf_orb_slam_tpu.retrieval import keyframe_db as kdb
+from gf_orb_slam_tpu.retrieval import vocabulary as voc_mod
+from gf_orb_slam_tpu.solvers import initializer, local_ba, pnp
 
 
 class State(enum.Enum):
@@ -54,6 +57,14 @@ class SlamConfig:
     ba_fixed: int = 2               # fixed boundary cameras in the window
     min_init_matches: int = 80
     triangulate_neighbors: int = 2
+    # place recognition / loop closing
+    enable_loop_closing: bool = True
+    enable_relocalization: bool = True
+    vocab_k: int = 10
+    vocab_L: int = 3
+    vocab_train_kfs: int = 4        # train the vocabulary once this many KFs exist
+    loop_min_kf_gap: int = 10       # don't try loops against recent keyframes
+    max_lost_frames: int = 100      # give up after this many LOST frames (ref 5s rule)
 
 
 @dataclass
@@ -102,6 +113,12 @@ class SlamSystem:
         self.logs: list[FrameLog] = []
         self._key = jax.random.PRNGKey(0)
         self.frames_since_init = 0
+        # place recognition state
+        self.voc: voc_mod.Vocabulary | None = None
+        self.bow_db: kdb.BowDatabase | None = None
+        self.loop_detector = loop_closing.LoopDetector()
+        self.n_loops_closed = 0
+        self.lost_frames = 0
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -123,6 +140,8 @@ class SlamSystem:
             self._initialize(frame, timestamp)
         elif self.state == State.WORKING:
             self._track(frame, timestamp, log)
+        elif self.state == State.LOST:
+            self._relocalize(frame, timestamp, log)
 
         log.state = self.state.name
         self.frame_id += 1
@@ -283,6 +302,125 @@ class SlamSystem:
         self.frames_since_init += 1
 
     # ------------------------------------------------------------------
+    def _relocalize(self, frame, timestamp, log):
+        """ref Tracking::Relocalisation (cc:3854-4032): BoW candidates → BoW-
+        gated matching of candidate keyframes' map points → PnP RANSAC →
+        local-map densification."""
+        self.lost_frames += 1
+        if not (
+            self.cfg.enable_relocalization
+            and self.voc is not None
+            and self.lost_frames <= self.cfg.max_lost_frames
+        ):
+            return
+        m = self.map
+        words, _ = voc_mod.quantize(self.voc, frame.desc, frame.valid)
+        v = voc_mod.bow_vector(self.voc, words)
+        covis = ms.covisibility(m)
+        cand, ok = kdb.detect_reloc_candidates(self.bow_db, covis, v, max_candidates=4)
+        cand = np.asarray(cand)[np.asarray(ok)]
+        for c in cand:
+            c = int(c)
+            has_pt = m.kf_kp_valid[c] & (m.kf_obs_point[c] >= 0)
+            kf_words = self.bow_db.words[c]
+            mask = kdb.bow_match_mask(words, kf_words, frame.valid, has_pt)
+            res = matching.match(
+                frame.desc, m.kf_kp_desc[c], mask, max_dist=matching.TH_LOW,
+                ratio=0.75, mutual=True,
+            )
+            pt_ids = jnp.maximum(m.kf_obs_point[c][res.idx], 0)
+            good = res.matched & m.pt_valid[pt_ids]
+            if int(good.sum()) < 15:
+                continue
+            sigma2 = jnp.asarray(
+                [self.cfg.scale ** (2 * i) for i in range(self.cfg.n_levels)]
+            )[frame.octave]
+            pr = pnp.pnp_ransac(
+                self.cam, m.pt_pos[pt_ids], frame.uv, sigma2, good, self._next_key()
+            )
+            if not bool(pr.ok):
+                continue
+            obs0 = jnp.where(pr.inliers, m.kf_obs_point[c][res.idx], ms.NO_POINT)
+            Xv = jnp.zeros(13, jnp.float32).at[3].set(1.0)
+            r2 = tracking.track_local_map(
+                self.cam, m, frame, pr.pose, obs0, Xv, self._next_key(),
+                scale=self.cfg.scale, n_levels=self.cfg.n_levels,
+                min_inliers=25, use_gf=False,
+            )
+            if not bool(r2.ok):
+                continue
+            # Relocalized.
+            self.state = State.WORKING
+            self.lost_frames = 0
+            self.last_reloc_frame = self.frame_id
+            self.velocity = se3.identity_pose()
+            self.last_pose = r2.pose
+            self.last_obs = r2.obs_point
+            self.last_frame = frame
+            self.last_ts = timestamp
+            log.pose_cw = np.asarray(r2.pose)
+            log.n_inliers = int(r2.n_inliers)
+            self.trajectory.append((timestamp, np.asarray(r2.pose)))
+            return
+
+    # ------------------------------------------------------------------
+    def _maybe_train_vocabulary(self):
+        if self.voc is not None or self.n_kf < self.cfg.vocab_train_kfs:
+            return
+        m = self.map
+        kf_ids = np.nonzero(np.asarray(m.kf_valid))[0]
+        descs = []
+        for k in kf_ids:
+            vmask = np.asarray(m.kf_kp_valid[k])
+            descs.append(np.asarray(m.kf_kp_desc[k])[vmask])
+        corpus = np.concatenate(descs, axis=0)
+        self.voc = voc_mod.train_vocabulary(
+            corpus, k=self.cfg.vocab_k, L=self.cfg.vocab_L
+        )
+        self.bow_db = kdb.empty_db(
+            self.map.kf_capacity, self.map.kp_capacity, self.voc.n_words
+        )
+        for k in kf_ids:
+            self.bow_db = kdb.add_keyframe(
+                self.bow_db, self.voc, jnp.asarray(int(k)),
+                m.kf_kp_desc[int(k)], m.kf_kp_valid[int(k)],
+            )
+
+    # ------------------------------------------------------------------
+    def _try_close_loop(self, kf_int: int):
+        """DetectLoop + ComputeSim3 + CorrectLoop for the new keyframe."""
+        m = self.map
+        covis = ms.covisibility(m)
+        cand, ok = kdb.detect_loop_candidates(
+            self.bow_db, covis, jnp.asarray(kf_int), max_candidates=6
+        )
+        cand_np = np.asarray(cand)
+        ok_np = np.asarray(ok)
+        # Exclude recent keyframes (temporal gap).
+        ok_np = ok_np & (cand_np < kf_int - self.cfg.loop_min_kf_gap)
+
+        covis_np = np.asarray(covis)
+
+        def covis_row_of(c):
+            return np.nonzero(covis_np[c] > 15)[0].tolist()
+
+        consistent = self.loop_detector.update(cand_np, ok_np, covis_row_of)
+        for c in consistent:
+            lm = loop_closing.verify_candidate(
+                self.cam, m, self.bow_db, jnp.asarray(kf_int), jnp.asarray(c),
+                self._next_key(), scale=self.cfg.scale, n_levels=self.cfg.n_levels,
+            )
+            if not bool(lm.ok):
+                continue
+            self.map = loop_closing.correct_loop(
+                m, jnp.asarray(kf_int), jnp.asarray(c), lm.S12, covis
+            )
+            self.n_loops_closed += 1
+            self.loop_detector.reset()
+            return True
+        return False
+
+    # ------------------------------------------------------------------
     def _insert_keyframe(self, frame, track_res, timestamp):
         """ref CreateNewKeyFrame + the LocalMapping::Run pipeline, executed
         synchronously (device-async under the hood)."""
@@ -332,6 +470,16 @@ class SlamSystem:
         m = self._run_local_ba(m, window_sorted, fixed_ids=fixed)
         m = ms.refresh_point_stats(m, scale=cfg.scale, n_levels=cfg.n_levels)
         self.map = m
+
+        # --- place recognition: vocabulary, BoW registration, loop closing ---
+        self._maybe_train_vocabulary()
+        if self.voc is not None:
+            self.bow_db = kdb.add_keyframe(
+                self.bow_db, self.voc, kf_id,
+                self.map.kf_kp_desc[kf_int], self.map.kf_kp_valid[kf_int],
+            )
+            if cfg.enable_loop_closing and self.n_kf > cfg.loop_min_kf_gap:
+                self._try_close_loop(kf_int)
 
     # ------------------------------------------------------------------
     def _run_local_ba(self, m, kf_ids, fixed_ids, iters=(5, 10)):

@@ -49,6 +49,24 @@ class TestEndToEnd:
         assert int(system.map.pt_valid.sum()) > 150
         assert rmse < 0.05, f"ATE {rmse*100:.1f} cm too high"
 
+    def test_relocalization_after_blackout(self):
+        """LOST on blacked-out frames → BoW+PnP relocalization recovers
+        (ref Tracking::Relocalisation path)."""
+        scene = synthetic.make_scene(seed=0)
+        n_frames = 55
+        ts, poses_gt = synthetic.trajectory(n_frames, fps=20.0)
+        system = SlamSystem(
+            CAM, SlamConfig(n_features=600, max_frames_between_kf=6, vocab_train_kfs=4)
+        )
+        black = jnp.zeros((480, 752), jnp.float32)
+        states = []
+        for i in range(n_frames):
+            img = black if 35 <= i < 40 else synthetic.render(scene, CAM, jnp.asarray(poses_gt[i]))
+            log = system.process(img, float(ts[i]))
+            states.append(log.state)
+        assert "LOST" in states[35:41]
+        assert any(s == "WORKING" for s in states[40:]), states[35:]
+
     def test_vo_with_gf_selection(self):
         """GF active matching at budget 100 — accuracy within 2x of baseline
         with a bounded match budget (the GF tradeoff property)."""
