@@ -1,0 +1,91 @@
+"""Per-frame stage timing — the reference's TimeLog system.
+
+Mirrors Util.hpp:179-264 (TimeLog struct with per-stage wall-clock fields,
+appended per frame and dumped by SaveTimeLog, Tracking.h:254-280): a
+lightweight host-side stopwatch aggregating named stages per frame, with the
+same dump format (header row + one line per frame) so the reference's offline
+analysis scripts work on our logs.
+
+The reference also uses timers as control inputs (anytime budgets); in the
+TPU rebuild budgets are static compute (selection rounds, candidate counts)
+so the TimeLog here is purely observational.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+
+STAGES = (
+    "extraction",
+    "initial_track",
+    "local_map_track",
+    "gf_selection",
+    "keyframe_insert",
+    "local_ba",
+    "loop_closing",
+    "total",
+)
+
+
+@dataclass
+class FrameTiming:
+    timestamp: float
+    stages_ms: dict = field(default_factory=dict)
+    lmk_tracked: int = 0
+    lmk_inlier: int = 0
+
+
+class TimeLog:
+    def __init__(self):
+        self.frames: list[FrameTiming] = []
+        self._current: FrameTiming | None = None
+        self._t0: float = 0.0
+        self._stage_start: float = 0.0
+        self._stage: str | None = None
+
+    def start_frame(self, timestamp: float):
+        self._current = FrameTiming(timestamp=timestamp)
+        self._t0 = time.perf_counter()
+
+    def begin(self, stage: str):
+        self._stage = stage
+        self._stage_start = time.perf_counter()
+
+    def end(self, stage: str | None = None):
+        if self._current is None or self._stage is None:
+            return
+        name = stage or self._stage
+        dt = (time.perf_counter() - self._stage_start) * 1e3
+        self._current.stages_ms[name] = self._current.stages_ms.get(name, 0.0) + dt
+        self._stage = None
+
+    def end_frame(self, lmk_tracked: int = 0, lmk_inlier: int = 0):
+        if self._current is None:
+            return
+        self._current.stages_ms["total"] = (time.perf_counter() - self._t0) * 1e3
+        self._current.lmk_tracked = lmk_tracked
+        self._current.lmk_inlier = lmk_inlier
+        self.frames.append(self._current)
+        self._current = None
+
+    def save(self, path: str):
+        """Dump in the reference's SaveTimeLog table style."""
+        with open(path, "w") as f:
+            f.write("#timestamp " + " ".join(STAGES) + " lmk_tracked lmk_inlier\n")
+            for fr in self.frames:
+                cols = " ".join(f"{fr.stages_ms.get(s, 0.0):.3f}" for s in STAGES)
+                f.write(f"{fr.timestamp:.6f} {cols} {fr.lmk_tracked} {fr.lmk_inlier}\n")
+
+    def summary(self) -> dict:
+        if not self.frames:
+            return {}
+        out = {}
+        for s in STAGES:
+            vals = [fr.stages_ms.get(s, 0.0) for fr in self.frames]
+            out[s] = {
+                "mean_ms": sum(vals) / len(vals),
+                "max_ms": max(vals),
+            }
+        return out

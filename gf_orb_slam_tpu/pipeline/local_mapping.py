@@ -1,0 +1,140 @@
+"""The per-keyframe local-mapping pipeline as ONE fused device program.
+
+Reference: LocalMapping::Run's per-keyframe sequence (src/LocalMapping.cc:
+46-147 — ProcessNewKeyFrame → MapPointCulling → CreateNewMapPoints →
+SearchInNeighbors → LocalBundleAdjustment → KeyFrameCulling). The reference
+runs it on a separate thread with mutexes and an abortable BA; here the whole
+sequence is a single MapState → MapState jitted transform: one dispatch per
+keyframe insertion, with covisibility-neighbor selection, triangulation
+against the top-2 neighbors, point culling, stat refresh, fused duplicate
+search, the padded-window Schur BA, and keyframe-redundancy culling all
+scheduled by XLA inside one program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gf_orb_slam_tpu.geometry.camera import CameraModel
+from gf_orb_slam_tpu.mapping import keyframe_ops
+from gf_orb_slam_tpu.mapping import map_state as ms
+from gf_orb_slam_tpu.solvers import local_ba
+
+
+class InsertResult(NamedTuple):
+    m: ms.MapState
+    kf_id: jnp.ndarray
+    culled_kf: jnp.ndarray   # () int32 — keyframe tombstoned this round (−1 none)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cam", "scale", "n_levels", "ba_window", "ba_fixed", "n_tri_neighbors",
+    ),
+    donate_argnums=(1,),
+)
+def insert_keyframe_fused(
+    cam: CameraModel,
+    m: ms.MapState,
+    pose: jnp.ndarray,
+    frame_id: jnp.ndarray,
+    timestamp: jnp.ndarray,
+    kp_uv: jnp.ndarray,
+    kp_octave: jnp.ndarray,
+    kp_angle: jnp.ndarray,
+    kp_desc: jnp.ndarray,
+    kp_valid: jnp.ndarray,
+    obs_point: jnp.ndarray,
+    scale: float = 1.2,
+    n_levels: int = 8,
+    ba_window: int = 8,
+    ba_fixed: int = 2,
+    n_tri_neighbors: int = 2,
+) -> InsertResult:
+    """Insert + run the whole local-mapping pipeline. kp_* arrays must already
+    be padded to the map's keypoint capacity."""
+    m, kf_id = ms.add_keyframe(
+        m, pose, frame_id, timestamp, kp_uv, kp_octave, kp_angle, kp_desc,
+        kp_valid, obs_point,
+    )
+
+    # Covisibility + triangulation neighbors (top-n by shared points, ≥10).
+    W = ms.covisibility(m)
+    w_row = W[kf_id]
+    top_w, top_ids = jax.lax.top_k(w_row, n_tri_neighbors)
+    for i in range(n_tri_neighbors):
+        nb = top_ids[i]
+        do = top_w[i] >= 10
+        m_tri = keyframe_ops.triangulate_between(
+            cam, m, kf_id, nb, frame_id, scale=scale, n_levels=n_levels
+        )
+        m = jax.tree.map(
+            lambda new, old: jnp.where(do, new, old) if new.dtype != bool
+            else jnp.where(do, new, old),
+            m_tri, m,
+        )
+
+    m = keyframe_ops.cull_points(m, kf_id)
+    m = ms.refresh_point_stats(m, scale=scale, n_levels=n_levels)
+    m = keyframe_ops.distinctive_descriptors(m)
+
+    # --- local BA over the top covisibility window (fixed shapes) ---
+    W2 = ms.covisibility(m)
+    w_row2 = W2[kf_id].at[kf_id].set(jnp.int32(1 << 30))  # self always in window
+    top_w2, win_ids = jax.lax.top_k(w_row2, ba_window)
+    active = top_w2 > 0
+    # Order by keyframe id so the fixed boundary = the earliest ones.
+    order = jnp.argsort(jnp.where(active, win_ids, jnp.int32(1 << 30)))
+    win_ids = win_ids[order]
+    active = active[order]
+
+    obs_local = jnp.where(active[:, None], m.kf_obs_point[win_ids], ms.NO_POINT)
+    local_pts = jnp.zeros(m.pt_capacity, bool).at[
+        jnp.maximum(obs_local.reshape(-1), 0)
+    ].max(obs_local.reshape(-1) >= 0)
+    local_pts = local_pts & m.pt_valid
+    sigma2 = jnp.asarray([scale ** (2 * i) for i in range(n_levels)])[
+        m.kf_kp_octave[win_ids]
+    ]
+    n_active = jnp.sum(active.astype(jnp.int32))
+    rank = jnp.cumsum(active.astype(jnp.int32)) - 1  # position among active
+    fixed = (~active) | (rank < jnp.minimum(ba_fixed, jnp.maximum(n_active - 1, 1)))
+
+    prob = local_ba.BAProblem(
+        poses=m.kf_pose[win_ids],
+        points=m.pt_pos,
+        fixed=fixed,
+        point_valid=local_pts,
+        obs_uv=m.kf_kp_uv[win_ids],
+        obs_point=obs_local,
+        obs_w=jnp.where(obs_local >= 0, 1.0 / sigma2, 0.0),
+    )
+    res = local_ba.bundle_adjust(cam, prob, iters_stage1=5, iters_stage2=10)
+    safe_ids = jnp.where(active, win_ids, m.kf_capacity)
+    m = m._replace(
+        kf_pose=m.kf_pose.at[safe_ids].set(res.poses, mode="drop"),
+        pt_pos=jnp.where(local_pts[:, None], res.points, m.pt_pos),
+        kf_obs_point=m.kf_obs_point.at[safe_ids].set(
+            jnp.where(res.obs_active, obs_local, ms.NO_POINT), mode="drop"
+        ),
+    )
+    m = ms.refresh_point_stats(m, scale=scale, n_levels=n_levels)
+
+    # --- keyframe culling: one most-redundant candidate per insertion ---
+    red = keyframe_ops.keyframe_redundancy(m)
+    protect = (
+        (jnp.arange(m.kf_capacity) <= 1) | (jnp.arange(m.kf_capacity) == kf_id)
+    )
+    red = jnp.where(protect, 0.0, red)
+    worst = jnp.argmax(red).astype(jnp.int32)
+    do_cull = red[worst] > 0.9
+    m_culled = ms.erase_keyframe(m, worst)
+    m = jax.tree.map(lambda a, b: jnp.where(do_cull, a, b), m_culled, m)
+    culled = jnp.where(do_cull, worst, -1)
+
+    return InsertResult(m=m, kf_id=kf_id, culled_kf=culled)

@@ -119,6 +119,9 @@ class SlamSystem:
         self.loop_detector = loop_closing.LoopDetector()
         self.n_loops_closed = 0
         self.lost_frames = 0
+        from gf_orb_slam_tpu.io_utils.timing import TimeLog
+
+        self.time_log = TimeLog()
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -131,20 +134,27 @@ class SlamSystem:
             if self.state in (State.NO_IMAGES_YET, State.NOT_INITIALIZED, State.INITIALIZING)
             else self.orb_cfg
         )
-        frame = frame_mod.make_frame(jnp.asarray(img, jnp.float32), self.cam, cfg_now)
+        self.time_log.start_frame(timestamp)
         log = FrameLog(timestamp=timestamp, state=self.state.name, pose_cw=None, n_inliers=0)
 
-        if self.state in (State.NO_IMAGES_YET, State.NOT_INITIALIZED):
-            self._first_initialization(frame, timestamp)
-        elif self.state == State.INITIALIZING:
-            self._initialize(frame, timestamp)
-        elif self.state == State.WORKING:
-            self._track(frame, timestamp, log)
-        elif self.state == State.LOST:
-            self._relocalize(frame, timestamp, log)
+        if self.state == State.WORKING:
+            # Extraction happens inside the fused tracking program.
+            self._track(jnp.asarray(img, jnp.float32), timestamp, log)
+        else:
+            self.time_log.begin("extraction")
+            frame = frame_mod.make_frame(jnp.asarray(img, jnp.float32), self.cam, cfg_now)
+            self.time_log.end()
+            if self.state in (State.NO_IMAGES_YET, State.NOT_INITIALIZED):
+                self._first_initialization(frame, timestamp)
+            elif self.state == State.INITIALIZING:
+                self._initialize(frame, timestamp)
+            elif self.state == State.LOST:
+                self._relocalize(frame, timestamp, log)
 
         log.state = self.state.name
         self.frame_id += 1
+        self.time_log.end_frame(lmk_inlier=log.n_inliers)
+        log.timing_ms = dict(self.time_log.frames[-1].stages_ms)
         self.logs.append(log)
         return log
 
@@ -236,55 +246,45 @@ class SlamSystem:
         self.trajectory.append((timestamp, np.asarray(self.last_pose)))
 
     # ------------------------------------------------------------------
-    def _track(self, frame, timestamp, log):
+    def _track(self, img, timestamp, log):
+        """WORKING-state frame: ONE fused device program (extraction + motion
+        tracking with built-in wide retry + local-map tracking + GF selection
+        + velocity) and a single scalar readback — minimal dispatch overhead.
+        Receives the raw image; extraction happens inside the program."""
         cfg = self.cfg
         dt = max(timestamp - self.last_ts, 1e-6)
-        pose_pred = (
-            se3.compose(self.velocity, self.last_pose)
-            if cfg.use_motion_model and self.velocity is not None
-            else self.last_pose
-        )
-
-        r1 = tracking.track_with_motion_model(
-            self.cam, self.map, frame, pose_pred, self.last_obs, self.last_frame.uv,
-            scale=cfg.scale, n_levels=cfg.n_levels, radius=15.0,
-        )
-        if not bool(r1.ok):
-            # fallback: widened search from the last pose (ref TrackPreviousFrame)
-            r1 = tracking.track_with_motion_model(
-                self.cam, self.map, frame, self.last_pose, self.last_obs,
-                self.last_frame.uv, scale=cfg.scale, n_levels=cfg.n_levels,
-                radius=40.0,
-            )
-        if not bool(r1.ok):
-            self.state = State.LOST
-            return
-
-        # PWLS state for GF Jacobians (two-pose window → predict current).
-        Xv = pwls.state_from_pose_pair(
-            jnp.asarray(self.last_ts, jnp.float32), self.last_pose,
-            jnp.asarray(timestamp, jnp.float32), r1.pose,
-        )
         use_gf = cfg.use_gf and self.frames_since_init > cfg.gf_warmup_frames
-        r2 = tracking.track_local_map(
-            self.cam, self.map, frame, r1.pose, r1.obs_point, Xv, self._next_key(),
+
+        self.time_log.begin("local_map_track")
+        res = tracking.track_frame_fused(
+            self.cam, self.orb_cfg, self.map, img,
+            self.last_pose, self.last_obs, self.last_frame.uv,
+            self.velocity if cfg.use_motion_model else se3.identity_pose(),
+            jnp.asarray(dt, jnp.float32), self._next_key(),
             scale=cfg.scale, n_levels=cfg.n_levels,
             gf_budget=cfg.gf_budget, use_gf=use_gf,
         )
-        if not bool(r2.ok):
+        # The single per-frame host sync: one transfer for all scalars.
+        ok_np, n_inl_np, pose_np = jax.device_get((res.ok, res.n_inliers, res.pose))
+        ok = bool(ok_np)
+        self.time_log.end("local_map_track")
+        frame_now = frame_mod.FrameData(
+            uv=res.frame_uv, uv_raw=res.frame_uv, octave=res.frame_octave,
+            angle=res.frame_angle, desc=res.frame_desc,
+            response=jnp.zeros_like(res.frame_angle), valid=res.frame_valid,
+        )
+        if not ok:
             self.state = State.LOST
+            self.last_frame = frame_now  # reloc can reuse this extraction
             return
 
-        self.map = tracking.update_point_counters(
-            self.map, r2.visible_points, r2.found_points
-        )
-
-        # velocity: T_cur_last = T_cur_w ∘ T_w_last
-        self.velocity = se3.compose(r2.pose, se3.inverse(self.last_pose))
-        n_inliers = int(r2.n_inliers)
-        log.pose_cw = np.asarray(r2.pose)
+        # Counters were incremented inside the fused program — no extra dispatch.
+        self.map = self.map._replace(pt_visible=res.pt_visible, pt_found=res.pt_found)
+        self.velocity = res.velocity
+        n_inliers = int(n_inl_np)
+        log.pose_cw = np.asarray(pose_np)
         log.n_inliers = n_inliers
-        self.trajectory.append((timestamp, np.asarray(r2.pose)))
+        self.trajectory.append((timestamp, np.asarray(pose_np)))
 
         # keyframe decision
         if tracking.need_new_keyframe(
@@ -293,11 +293,19 @@ class SlamSystem:
             self.frame_id - self.last_reloc_frame if self.last_reloc_frame > 0 else 10**9,
             cfg.max_frames_between_kf,
         ) and self.n_kf < self.cfg.max_keyframes - 1:
-            self._insert_keyframe(frame, r2, timestamp)
+            self.time_log.begin("keyframe_insert")
+            track_like = tracking.LocalMapTrackResult(
+                pose=res.pose, obs_point=res.obs_point, n_inliers=res.n_inliers,
+                ok=res.ok, local_points=res.pt_visible_add,
+                gf_selected=jnp.zeros_like(self.map.pt_valid),
+                visible_points=res.pt_visible_add, found_points=res.pt_found_add,
+            )
+            self._insert_keyframe(frame_now, track_like, timestamp)
+            self.time_log.end("keyframe_insert")
 
-        self.last_pose = r2.pose
-        self.last_obs = r2.obs_point
-        self.last_frame = frame
+        self.last_pose = res.pose
+        self.last_obs = res.obs_point
+        self.last_frame = frame_now
         self.last_ts = timestamp
         self.frames_since_init += 1
 
@@ -422,9 +430,14 @@ class SlamSystem:
 
     # ------------------------------------------------------------------
     def _insert_keyframe(self, frame, track_res, timestamp):
-        """ref CreateNewKeyFrame + the LocalMapping::Run pipeline, executed
-        synchronously (device-async under the hood)."""
+        """ref CreateNewKeyFrame + the LocalMapping::Run pipeline, fused into
+        ONE device program (pipeline/local_mapping.py) — a single dispatch
+        covers triangulation, culling, stat refresh, descriptors, windowed
+        Schur BA, and keyframe culling. Host keeps only BoW registration and
+        loop detection."""
         cfg = self.cfg
+        from gf_orb_slam_tpu.pipeline import local_mapping
+
         # Pad tracking frames (capacity n_features) to the map's keypoint
         # capacity (2x, sized for the init extractor).
         Nm = self.map.kp_capacity
@@ -436,56 +449,46 @@ class SlamSystem:
             widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
             return jnp.pad(a, widths, constant_values=fill)
 
-        m, kf_id = ms.add_keyframe(
-            self.map, track_res.pose, jnp.asarray(self.frame_id),
+        res = local_mapping.insert_keyframe_fused(
+            self.cam, self.map, track_res.pose, jnp.asarray(self.frame_id),
             jnp.asarray(timestamp, jnp.float32),
             pz(frame.uv), pz(frame.octave), pz(frame.angle), pz(frame.desc),
             pz(frame.valid, False), pz(track_res.obs_point, ms.NO_POINT),
+            scale=cfg.scale, n_levels=cfg.n_levels,
+            ba_window=cfg.ba_window, ba_fixed=cfg.ba_fixed,
+            n_tri_neighbors=cfg.triangulate_neighbors,
         )
-        kf_int = int(kf_id)
+        self.map = res.m
+        kf_int = int(res.kf_id)
+        culled = int(res.culled_kf)
         self.n_kf += 1
         self.last_kf_frame = self.frame_id
         self.n_ref_tracked = int((track_res.obs_point >= 0).sum())
-
-        # --- LocalMapping equivalent ---
-        W = np.asarray(ms.covisibility(m))
-        neighbors = np.argsort(W[kf_int])[::-1][: cfg.triangulate_neighbors]
-        for nb in neighbors:
-            if W[kf_int, nb] < 10:
-                continue
-            m = keyframe_ops.triangulate_between(
-                self.cam, m, kf_id, jnp.asarray(int(nb)), jnp.asarray(self.frame_id),
-                scale=cfg.scale, n_levels=cfg.n_levels,
-            )
-        m = keyframe_ops.cull_points(m, jnp.asarray(kf_int))
-        m = ms.refresh_point_stats(m, scale=cfg.scale, n_levels=cfg.n_levels)
-        m = keyframe_ops.distinctive_descriptors(m)
-
-        # Local BA over the covisibility window.
-        order = np.argsort(W[kf_int])[::-1]
-        window = [kf_int] + [int(k) for k in order if W[kf_int, k] > 0][: cfg.ba_window - 1]
-        # fixed: earliest KFs in the window + always KF 0 if present
-        window_sorted = sorted(set(window))
-        fixed = window_sorted[: cfg.ba_fixed]
-        m = self._run_local_ba(m, window_sorted, fixed_ids=fixed)
-        m = ms.refresh_point_stats(m, scale=cfg.scale, n_levels=cfg.n_levels)
-        self.map = m
+        if culled >= 0 and self.bow_db is not None:
+            self.bow_db = kdb.erase_keyframe(self.bow_db, jnp.asarray(culled))
 
         # --- place recognition: vocabulary, BoW registration, loop closing ---
         self._maybe_train_vocabulary()
         if self.voc is not None:
             self.bow_db = kdb.add_keyframe(
-                self.bow_db, self.voc, kf_id,
+                self.bow_db, self.voc, res.kf_id,
                 self.map.kf_kp_desc[kf_int], self.map.kf_kp_valid[kf_int],
             )
             if cfg.enable_loop_closing and self.n_kf > cfg.loop_min_kf_gap:
                 self._try_close_loop(kf_int)
 
     # ------------------------------------------------------------------
-    def _run_local_ba(self, m, kf_ids, fixed_ids, iters=(5, 10)):
-        """Build a BAProblem over the chosen keyframes and write results back."""
+    def _run_local_ba(self, m, kf_ids, fixed_ids, iters=(5, 10), row_active=None):
+        """Build a BAProblem over the chosen keyframes and write results back.
+
+        kf_ids may contain duplicate padding entries (row_active=False) so the
+        window shape — and therefore the compiled program — stays constant.
+        """
+        if row_active is None:
+            row_active = [True] * len(kf_ids)
         ids = jnp.asarray(kf_ids, jnp.int32)
-        obs_point = m.kf_obs_point[ids]
+        act = jnp.asarray(row_active)
+        obs_point = jnp.where(act[:, None], m.kf_obs_point[ids], ms.NO_POINT)
         local_pts = jnp.zeros(m.pt_capacity, bool).at[
             jnp.maximum(obs_point.reshape(-1), 0)
         ].max(obs_point.reshape(-1) >= 0)
@@ -493,7 +496,9 @@ class SlamSystem:
         sigma2 = jnp.asarray(
             [self.cfg.scale ** (2 * i) for i in range(self.cfg.n_levels)]
         )[m.kf_kp_octave[ids]]
-        fixed_mask = jnp.asarray([k in fixed_ids for k in kf_ids])
+        fixed_mask = jnp.asarray(
+            [k in fixed_ids or not a for k, a in zip(kf_ids, row_active)]
+        )
         prob = local_ba.BAProblem(
             poses=m.kf_pose[ids],
             points=m.pt_pos,
@@ -507,13 +512,16 @@ class SlamSystem:
             self.cam, prob, iters_stage1=iters[0], iters_stage2=iters[1]
         )
         new_points = jnp.where(local_pts[:, None], res.points, m.pt_pos)
+        safe_ids = jnp.where(act, ids, m.kf_capacity)  # padded rows dropped
         m = m._replace(
-            kf_pose=m.kf_pose.at[ids].set(res.poses),
+            kf_pose=m.kf_pose.at[safe_ids].set(res.poses, mode="drop"),
             pt_pos=new_points,
         )
-        # Drop observations BA classified as outliers.
+        # Drop observations BA classified as outliers (active rows only).
         obs_new = jnp.where(res.obs_active, obs_point, ms.NO_POINT)
-        m = m._replace(kf_obs_point=m.kf_obs_point.at[ids].set(obs_new))
+        m = m._replace(
+            kf_obs_point=m.kf_obs_point.at[safe_ids].set(obs_new, mode="drop")
+        )
         return m
 
     # ------------------------------------------------------------------

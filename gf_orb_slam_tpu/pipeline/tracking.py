@@ -238,6 +238,103 @@ def track_local_map(
     )
 
 
+class FusedTrackResult(NamedTuple):
+    """Everything the host needs from one WORKING-state frame — returned from
+    a single device program so per-frame dispatch/sync cost is one call."""
+
+    pose: jnp.ndarray          # (7,)
+    obs_point: jnp.ndarray     # (N,)
+    frame_uv: jnp.ndarray      # (N, 2) undistorted keypoints (for next frame)
+    frame_octave: jnp.ndarray  # (N,)
+    frame_angle: jnp.ndarray   # (N,)
+    frame_desc: jnp.ndarray    # (N, 8)
+    frame_valid: jnp.ndarray   # (N,)
+    n_inliers: jnp.ndarray     # () int32
+    ok: jnp.ndarray            # () bool — both stages passed
+    velocity: jnp.ndarray      # (7,) updated T_cur_last
+    pt_visible_add: jnp.ndarray  # (P,) bool — this frame's visibility
+    pt_found_add: jnp.ndarray    # (P,) bool
+    pt_visible: jnp.ndarray    # (P,) int32 — already-incremented counters
+    pt_found: jnp.ndarray      # (P,) int32
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cam", "orb_cfg", "scale", "n_levels", "gf_budget", "use_gf"),
+)
+def track_frame_fused(
+    cam: CameraModel,
+    orb_cfg,
+    m: ms.MapState,
+    img: jnp.ndarray,
+    last_pose: jnp.ndarray,
+    last_obs: jnp.ndarray,
+    last_uv: jnp.ndarray,
+    velocity: jnp.ndarray,
+    dt: jnp.ndarray,
+    key: jnp.ndarray,
+    scale: float = 1.2,
+    n_levels: int = 8,
+    gf_budget: int = 100,
+    use_gf: bool = False,
+) -> FusedTrackResult:
+    """The whole per-frame WORKING path as ONE program: ORB extraction →
+    motion-model tracking (with built-in wide-radius retry) → local-map
+    tracking (+ optional GF selection) → velocity update → counter deltas.
+
+    The reference runs this as Tracking::GrabImage's hot path with many
+    sequential stages (SURVEY §3.1); fusing it means XLA schedules extraction
+    convolutions, Hamming matmuls, and LM solves in one graph, and the host
+    pays one dispatch + one scalar readback per frame — essential when the
+    accelerator sits across a network tunnel and good for latency everywhere.
+    """
+    from gf_orb_slam_tpu.mapping.frame import make_frame
+
+    frame = make_frame(img, cam, orb_cfg)
+    pose_pred = se3.compose(velocity, last_pose)
+
+    r1 = track_with_motion_model(
+        cam, m, frame, pose_pred, last_obs, last_uv,
+        scale=scale, n_levels=n_levels, radius=15.0,
+    )
+    # Fallback: widened search from the last pose (ref TrackPreviousFrame).
+    r1b = track_with_motion_model(
+        cam, m, frame, last_pose, last_obs, last_uv,
+        scale=scale, n_levels=n_levels, radius=40.0,
+    )
+    use_b = ~r1.ok & r1b.ok
+    pose1 = jnp.where(use_b, r1b.pose, r1.pose)
+    obs1 = jnp.where(use_b, r1b.obs_point, r1.obs_point)
+    ok1 = r1.ok | r1b.ok
+
+    from gf_orb_slam_tpu.geometry import pwls
+
+    t0 = jnp.asarray(0.0, pose1.dtype)
+    Xv = pwls.state_from_pose_pair(t0, last_pose, t0 + dt, pose1)
+    r2 = track_local_map(
+        cam, m, frame, pose1, obs1, Xv, key,
+        scale=scale, n_levels=n_levels, gf_budget=gf_budget, use_gf=use_gf,
+    )
+    ok = ok1 & r2.ok
+    new_velocity = se3.compose(r2.pose, se3.inverse(last_pose))
+    return FusedTrackResult(
+        pose=r2.pose,
+        obs_point=r2.obs_point,
+        frame_uv=frame.uv,
+        frame_octave=frame.octave,
+        frame_angle=frame.angle,
+        frame_desc=frame.desc,
+        frame_valid=frame.valid,
+        n_inliers=r2.n_inliers,
+        ok=ok,
+        velocity=new_velocity,
+        pt_visible_add=r2.visible_points,
+        pt_found_add=r2.found_points,
+        pt_visible=m.pt_visible + r2.visible_points.astype(jnp.int32),
+        pt_found=m.pt_found + r2.found_points.astype(jnp.int32),
+    )
+
+
 @jax.jit
 def update_point_counters(
     m: ms.MapState, visible: jnp.ndarray, found: jnp.ndarray

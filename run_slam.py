@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""CLI driver: run the SLAM system on a dataset sequence (or the synthetic
+scene) and write TUM trajectories + timing logs.
+
+Replaces the reference's main.cc argv interface (vocabulary, settings yaml,
+#good-features, topic, results prefix; src/main.cc:57-64) and the per-sequence
+body of batch_script/Run_EuRoC.py:
+
+  python run_slam.py --seq /data/EuRoC/MH_01_easy --settings cfg/EuRoC.yaml \
+      --gf-budget 100 --out results/MH01
+  python run_slam.py --synthetic 120 --out results/synth   # no dataset needed
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seq", help="dataset sequence directory (EuRoC/TUM/NUIM)")
+    ap.add_argument("--synthetic", type=int, default=0, help="run N synthetic frames instead")
+    ap.add_argument("--settings", help="OpenCV-style yaml settings file")
+    ap.add_argument("--gf-budget", type=int, default=0,
+                    help="good-feature budget (0 = GF off, plain ORB-SLAM path)")
+    ap.add_argument("--n-features", type=int, default=0, help="override ORB feature count")
+    ap.add_argument("--max-frames", type=int, default=0, help="cap processed frames")
+    ap.add_argument("--out", default="results/run", help="output prefix")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gf_orb_slam_tpu.geometry import se3
+    from gf_orb_slam_tpu.geometry.camera import CameraModel
+    from gf_orb_slam_tpu.io_utils import evaluation, synthetic
+    from gf_orb_slam_tpu.pipeline.system import SlamConfig, SlamSystem
+
+    if args.settings:
+        from gf_orb_slam_tpu.io_utils.settings import load_settings
+
+        cam, cfg = load_settings(args.settings)
+    else:
+        cam = CameraModel(fx=458.0, fy=458.0, cx=376.0, cy=240.0,
+                          width=752, height=480, fps=20.0)
+        cfg = SlamConfig()
+    if args.n_features:
+        cfg.n_features = args.n_features
+    if args.gf_budget > 0:
+        cfg.use_gf = True
+        cfg.gf_budget = args.gf_budget
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    system = SlamSystem(cam, cfg)
+
+    gt_positions = None
+    if args.synthetic:
+        scene = synthetic.make_scene(seed=0)
+        ts, poses_gt = synthetic.trajectory(args.synthetic, fps=cam.fps)
+        frames = ((float(ts[i]), synthetic.render(scene, cam, jnp.asarray(poses_gt[i])))
+                  for i in range(args.synthetic))
+        gt_by_t = {round(float(t), 6): np.asarray(
+            se3.pose_t(se3.inverse(jnp.asarray(p)))) for t, p in zip(ts, poses_gt)}
+    else:
+        from gf_orb_slam_tpu.io_utils.datasets import detect_and_load
+        from gf_orb_slam_tpu.io_utils.prefetch import FramePrefetcher
+
+        seq = detect_and_load(args.seq)
+        gt_by_t = None
+
+        def _frames():
+            # Native C++ prefetcher decodes ahead of the tracker.
+            with FramePrefetcher(seq.image_paths, cam.width, cam.height) as pf:
+                for i, img in pf:
+                    yield seq.timestamps[i], img
+
+        frames = _frames()
+
+    n = 0
+    for t, img in frames:
+        log = system.process(jnp.asarray(img, jnp.float32), t)
+        n += 1
+        if n % 50 == 0:
+            print(f"[{n}] {log.state} inliers={log.n_inliers} "
+                  f"kfs={system.n_kf} loops={system.n_loops_closed}", file=sys.stderr)
+        if args.max_frames and n >= args.max_frames:
+            break
+
+    est_ts, est_poses = system.get_trajectory()
+    evaluation.write_tum_trajectory(f"{args.out}_AllFrameTrajectory.txt", est_ts, est_poses)
+    # KeyFrame trajectory (ref main.cc:186-215)
+    kf_valid = np.asarray(system.map.kf_valid)
+    kf_ts = np.asarray(system.map.kf_timestamp)[kf_valid]
+    kf_poses = np.asarray(system.map.kf_pose)[kf_valid]
+    order = np.argsort(kf_ts)
+    evaluation.write_tum_trajectory(
+        f"{args.out}_KeyFrameTrajectory.txt", kf_ts[order], kf_poses[order]
+    )
+    system.time_log.save(f"{args.out}_TimeLog.txt")
+
+    result = {
+        "frames": n,
+        "tracked": len(est_poses),
+        "keyframes": int(system.n_kf),
+        "map_points": int(system.map.pt_valid.sum()),
+        "loops_closed": system.n_loops_closed,
+        "timing": system.time_log.summary(),
+    }
+    if args.synthetic and len(est_poses) > 10:
+        est_pos = np.stack(
+            [np.asarray(se3.pose_t(se3.inverse(jnp.asarray(p)))) for p in est_poses]
+        )
+        gt_pos = np.stack([gt_by_t[round(float(t), 6)] for t in est_ts])
+        result["ate_rmse_m"] = evaluation.ate_rmse(est_pos, gt_pos)
+    elif not args.synthetic:
+        from gf_orb_slam_tpu.io_utils.datasets import associate_ground_truth
+
+        gt_pos, ok = associate_ground_truth(seq, est_ts)
+        if gt_pos is not None and ok.sum() > 10:
+            est_pos = np.stack(
+                [np.asarray(se3.pose_t(se3.inverse(jnp.asarray(p)))) for p in est_poses]
+            )
+            result["ate_rmse_m"] = evaluation.ate_rmse(est_pos[ok], gt_pos[ok])
+
+    print(json.dumps(result, indent=2, default=float))
+    with open(f"{args.out}_result.json", "w") as f:
+        json.dump(result, f, indent=2, default=float)
+
+
+if __name__ == "__main__":
+    main()
