@@ -42,7 +42,7 @@ def main():
 
     system = SlamSystem(
         cam,
-        SlamConfig(n_features=800, max_frames_between_kf=10, use_gf=False),
+        SlamConfig(n_features=800, max_frames_between_kf=10, use_gf=False, pipelined=True),
     )
 
     # Warmup: initialization + first compiles.
@@ -52,9 +52,9 @@ def main():
     n_tracked = 0
     t0 = time.perf_counter()
     for i in range(warmup_frames, n_frames):
-        log = system.process(frames[i], float(ts[i]))
-        if log.pose_cw is not None:
-            n_tracked += 1
+        system.process(frames[i], float(ts[i]))
+    system.flush()
+    n_tracked = sum(1 for lg in system.logs[warmup_frames:] if lg.pose_cw is not None)
     jax.block_until_ready(system.map.kf_pose)
     elapsed = time.perf_counter() - t0
 

@@ -65,6 +65,7 @@ class SlamConfig:
     vocab_train_kfs: int = 4        # train the vocabulary once this many KFs exist
     loop_min_kf_gap: int = 10       # don't try loops against recent keyframes
     max_lost_frames: int = 100      # give up after this many LOST frames (ref 5s rule)
+    pipelined: bool = False         # one-frame-late readback (hides device RTT)
 
 
 @dataclass
@@ -119,6 +120,7 @@ class SlamSystem:
         self.loop_detector = loop_closing.LoopDetector()
         self.n_loops_closed = 0
         self.lost_frames = 0
+        self._inflight = None
         from gf_orb_slam_tpu.io_utils.timing import TimeLog
 
         self.time_log = TimeLog()
@@ -249,8 +251,10 @@ class SlamSystem:
     def _track(self, img, timestamp, log):
         """WORKING-state frame: ONE fused device program (extraction + motion
         tracking with built-in wide retry + local-map tracking + GF selection
-        + velocity) and a single scalar readback — minimal dispatch overhead.
-        Receives the raw image; extraction happens inside the program."""
+        + velocity); scalar readback either immediately (pipelined=False) or
+        one frame late (pipelined=True), which hides the host↔device round
+        trip under the next frame's dispatch — the TPU analogue of the
+        reference's tracker/mapper thread overlap."""
         cfg = self.cfg
         dt = max(timestamp - self.last_ts, 1e-6)
         use_gf = cfg.use_gf and self.frames_since_init > cfg.gf_warmup_frames
@@ -264,33 +268,55 @@ class SlamSystem:
             scale=cfg.scale, n_levels=cfg.n_levels,
             gf_budget=cfg.gf_budget, use_gf=use_gf,
         )
-        # The single per-frame host sync: one transfer for all scalars.
-        ok_np, n_inl_np, pose_np = jax.device_get((res.ok, res.n_inliers, res.pose))
-        ok = bool(ok_np)
-        self.time_log.end("local_map_track")
         frame_now = frame_mod.FrameData(
             uv=res.frame_uv, uv_raw=res.frame_uv, octave=res.frame_octave,
             angle=res.frame_angle, desc=res.frame_desc,
             response=jnp.zeros_like(res.frame_angle), valid=res.frame_valid,
         )
-        if not ok:
+        # Advance rolling device state without any host sync.
+        self.map = self.map._replace(pt_visible=res.pt_visible, pt_found=res.pt_found)
+        self.velocity = res.velocity
+        self.last_pose = res.pose
+        self.last_obs = res.obs_point
+        self.last_frame = frame_now
+        self.last_ts = timestamp
+        self.frames_since_init += 1
+
+        prev = self._inflight
+        self._inflight = (res, frame_now, timestamp, self.frame_id, log)
+        if cfg.pipelined:
+            if prev is not None:
+                self._finalize_tracked(*prev)
+        else:
+            entry, self._inflight = self._inflight, None
+            self._finalize_tracked(*entry)
+        self.time_log.end("local_map_track")
+
+    def flush(self):
+        """Finalize the last in-flight frame (pipelined mode); call at
+        sequence end before reading the trajectory."""
+        if self._inflight is not None:
+            entry, self._inflight = self._inflight, None
+            self._finalize_tracked(*entry)
+
+    def _finalize_tracked(self, res, frame_now, timestamp, frame_id, log):
+        cfg = self.cfg
+        ok_np, n_inl_np, pose_np = jax.device_get((res.ok, res.n_inliers, res.pose))
+        if not bool(ok_np):
             self.state = State.LOST
+            self._inflight = None  # anything dispatched after the failure is garbage
             self.last_frame = frame_now  # reloc can reuse this extraction
             return
 
-        # Counters were incremented inside the fused program — no extra dispatch.
-        self.map = self.map._replace(pt_visible=res.pt_visible, pt_found=res.pt_found)
-        self.velocity = res.velocity
         n_inliers = int(n_inl_np)
         log.pose_cw = np.asarray(pose_np)
         log.n_inliers = n_inliers
         self.trajectory.append((timestamp, np.asarray(pose_np)))
 
-        # keyframe decision
         if tracking.need_new_keyframe(
             n_inliers, self.n_ref_tracked,
-            self.frame_id - self.last_kf_frame,
-            self.frame_id - self.last_reloc_frame if self.last_reloc_frame > 0 else 10**9,
+            frame_id - self.last_kf_frame,
+            frame_id - self.last_reloc_frame if self.last_reloc_frame > 0 else 10**9,
             cfg.max_frames_between_kf,
         ) and self.n_kf < self.cfg.max_keyframes - 1:
             self.time_log.begin("keyframe_insert")
@@ -300,14 +326,8 @@ class SlamSystem:
                 gf_selected=jnp.zeros_like(self.map.pt_valid),
                 visible_points=res.pt_visible_add, found_points=res.pt_found_add,
             )
-            self._insert_keyframe(frame_now, track_like, timestamp)
+            self._insert_keyframe(frame_now, track_like, timestamp, frame_id=frame_id)
             self.time_log.end("keyframe_insert")
-
-        self.last_pose = res.pose
-        self.last_obs = res.obs_point
-        self.last_frame = frame_now
-        self.last_ts = timestamp
-        self.frames_since_init += 1
 
     # ------------------------------------------------------------------
     def _relocalize(self, frame, timestamp, log):
@@ -429,7 +449,7 @@ class SlamSystem:
         return False
 
     # ------------------------------------------------------------------
-    def _insert_keyframe(self, frame, track_res, timestamp):
+    def _insert_keyframe(self, frame, track_res, timestamp, frame_id=None):
         """ref CreateNewKeyFrame + the LocalMapping::Run pipeline, fused into
         ONE device program (pipeline/local_mapping.py) — a single dispatch
         covers triangulation, culling, stat refresh, descriptors, windowed
@@ -449,8 +469,10 @@ class SlamSystem:
             widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
             return jnp.pad(a, widths, constant_values=fill)
 
+        if frame_id is None:
+            frame_id = self.frame_id
         res = local_mapping.insert_keyframe_fused(
-            self.cam, self.map, track_res.pose, jnp.asarray(self.frame_id),
+            self.cam, self.map, track_res.pose, jnp.asarray(frame_id),
             jnp.asarray(timestamp, jnp.float32),
             pz(frame.uv), pz(frame.octave), pz(frame.angle), pz(frame.desc),
             pz(frame.valid, False), pz(track_res.obs_point, ms.NO_POINT),
@@ -462,7 +484,7 @@ class SlamSystem:
         kf_int = int(res.kf_id)
         culled = int(res.culled_kf)
         self.n_kf += 1
-        self.last_kf_frame = self.frame_id
+        self.last_kf_frame = frame_id
         self.n_ref_tracked = int((track_res.obs_point >= 0).sum())
         if culled >= 0 and self.bow_db is not None:
             self.bow_db = kdb.erase_keyframe(self.bow_db, jnp.asarray(culled))

@@ -32,6 +32,74 @@ def _project(cam: CameraModel, xc):
     )
 
 
+@partial(jax.jit, static_argnames=("cam", "n_iters", "fix_scale"))
+def optimize_sim3(
+    cam: CameraModel,
+    S12_0: jnp.ndarray,
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    uv1: jnp.ndarray,
+    uv2: jnp.ndarray,
+    sigma2_1: jnp.ndarray,
+    sigma2_2: jnp.ndarray,
+    valid: jnp.ndarray,
+    n_iters: int = 10,
+    fix_scale: bool = False,
+    chi2_th: float = 9.21,
+):
+    """Sim3 LM refinement on two-way reprojection residuals (replaces
+    Optimizer::OptimizeSim3, src/Optimizer.cc:2019-2217: g2o VertexSim3Expmap
+    + forward/backward EdgeSim3ProjectXYZ). Autodiff Jacobians over the 7-dof
+    tangent, Huber weights, fixed iterations. Returns (S12, inliers)."""
+    from gf_orb_slam_tpu.geometry import sim3 as s3
+
+    def residuals(xi, S_base):
+        S = s3.compose(s3.exp(xi), S_base)
+        r1 = uv1 - _project(cam, s3.transform_point(S[None], x2))
+        r2 = uv2 - _project(cam, s3.transform_point(s3.inverse(S)[None], x1))
+        return r1, r2
+
+    def whitened_cost(xi, S_base, w_mask):
+        r1, r2 = residuals(xi, S_base)
+        c1 = jnp.sum(r1 * r1, axis=-1) / sigma2_1
+        c2 = jnp.sum(r2 * r2, axis=-1) / sigma2_2
+        return jnp.sum(jnp.where(w_mask, c1 + c2, 0.0)), (c1, c2)
+
+    def step(carry, _):
+        S, lam = carry
+        zero = jnp.zeros(7)
+        if fix_scale:
+            sel = jnp.ones(7).at[6].set(0.0)
+        else:
+            sel = jnp.ones(7)
+        _, (c1, c2) = whitened_cost(zero, S, valid)
+        w_mask = valid & (c1 < chi2_th) & (c2 < chi2_th)
+
+        def flat_res(xi):
+            r1, r2 = residuals(xi * sel, S)
+            r1 = r1 / jnp.sqrt(sigma2_1)[:, None] * w_mask[:, None]
+            r2 = r2 / jnp.sqrt(sigma2_2)[:, None] * w_mask[:, None]
+            return jnp.concatenate([r1.reshape(-1), r2.reshape(-1)])
+
+        r = flat_res(jnp.zeros(7))
+        J = jax.jacfwd(flat_res)(jnp.zeros(7))
+        H = J.T @ J + lam * jnp.eye(7)
+        g = J.T @ r
+        delta = -jnp.linalg.solve(H, g) * sel
+        S_new = s3.compose(s3.exp(delta), S)
+        c_old, _ = whitened_cost(jnp.zeros(7), S, w_mask)
+        c_new, _ = whitened_cost(jnp.zeros(7), S_new, w_mask)
+        good = c_new < c_old
+        S = jnp.where(good, S_new, S)
+        lam = jnp.where(good, jnp.maximum(lam * 0.3, 1e-8), jnp.minimum(lam * 5.0, 1e5))
+        return (S, lam), None
+
+    (S, _), _ = jax.lax.scan(step, (S12_0, jnp.asarray(1e-3)), None, length=n_iters)
+    _, (c1, c2) = whitened_cost(jnp.zeros(7), S, valid)
+    inliers = valid & (c1 < chi2_th) & (c2 < chi2_th)
+    return S, inliers
+
+
 @partial(jax.jit, static_argnames=("cam", "n_hypotheses", "min_inliers", "fix_scale"))
 def solve_sim3_ransac(
     cam: CameraModel,

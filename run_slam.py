@@ -95,6 +95,7 @@ def main(argv=None):
                   f"kfs={system.n_kf} loops={system.n_loops_closed}", file=sys.stderr)
         if args.max_frames and n >= args.max_frames:
             break
+    system.flush()
 
     est_ts, est_poses = system.get_trajectory()
     evaluation.write_tum_trajectory(f"{args.out}_AllFrameTrajectory.txt", est_ts, est_poses)

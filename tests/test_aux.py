@@ -1,0 +1,131 @@
+"""Auxiliary subsystem tests: snapshot/resume, viz export, BoxLOG detector,
+Sim3 LM refinement, TimeLog."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gf_orb_slam_tpu.geometry import camera, quat, se3, sim3 as s3
+from gf_orb_slam_tpu.io_utils import snapshot, timing, viz
+from gf_orb_slam_tpu.mapping import map_state as ms
+from gf_orb_slam_tpu.ops import boxlog
+from gf_orb_slam_tpu.retrieval import keyframe_db as kdb
+from gf_orb_slam_tpu.retrieval import vocabulary as voc_mod
+from gf_orb_slam_tpu.solvers import sim3_solver
+from tests.test_map_state import small_map
+
+
+class TestSnapshot:
+    def test_roundtrip(self, tmp_path, rng):
+        m = small_map()
+        voc = voc_mod.random_vocabulary(k=8, L=2)
+        db = kdb.empty_db(8, 32, voc.n_words)
+        db = kdb.add_keyframe(
+            db, voc, jnp.asarray(0),
+            jnp.asarray(rng.integers(0, 2**32, (32, 8), dtype=np.uint32)),
+            jnp.ones(32, bool),
+        )
+        p = str(tmp_path / "map.npz")
+        snapshot.save_map(p, m, voc, db)
+        m2, voc2, db2 = snapshot.load_map(p)
+        np.testing.assert_array_equal(np.asarray(m.pt_pos), np.asarray(m2.pt_pos))
+        np.testing.assert_array_equal(np.asarray(m.kf_obs_point), np.asarray(m2.kf_obs_point))
+        assert voc2.k == 8 and voc2.L == 2
+        np.testing.assert_array_equal(np.asarray(db.bow), np.asarray(db2.bow))
+
+    def test_map_only(self, tmp_path):
+        m = small_map()
+        p = str(tmp_path / "m.npz")
+        snapshot.save_map(p, m)
+        m2, voc2, db2 = snapshot.load_map(p)
+        assert voc2 is None and db2 is None
+        assert int(m2.n_kf) == int(m.n_kf)
+
+
+class TestViz:
+    def test_annotate_frame(self, rng):
+        img = rng.uniform(0, 255, (120, 160)).astype(np.float32)
+        uv = np.asarray([[40.0, 40.0], [80.0, 60.0], [200.0, 300.0]])  # last OOB
+        tracked = np.asarray([True, False, True])
+        sel = np.asarray([False, True, False])
+        rgb = viz.annotate_frame(img, uv, tracked, sel)
+        assert rgb.shape == (120, 160, 3)
+        assert (rgb[37:44, 37:44, 1] == 255).any()    # green tracked ring
+        assert (rgb[57:64, 77:84, 0] == 255).any()    # magenta selected ring
+
+    def test_export_ply(self, tmp_path):
+        m = small_map()
+        p = str(tmp_path / "map.ply")
+        viz.export_map_ply(p, m)
+        txt = open(p).read()
+        assert txt.startswith("ply")
+        assert "element vertex 23" in txt  # 20 points + 3 keyframes
+        assert "element edge 3" in txt     # 3 covisibility pairs
+
+
+class TestBoxLOG:
+    def test_detects_blobs(self, rng):
+        """Bright blobs on dark background are found near their centers
+        (mirrors the reference's test_BoxLOG response checks)."""
+        img = np.zeros((160, 200), np.float32)
+        centers = [(40, 50), (100, 120), (70, 160)]
+        for (cy, cx) in centers:
+            yy, xx = np.mgrid[0:160, 0:200]
+            img += 200.0 * np.exp(-(((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 5.0**2)))
+        xy, resp, valid = boxlog.detect_blobs(jnp.asarray(img), n_keep=10)
+        xy = np.asarray(xy)[np.asarray(valid)]
+        for (cy, cx) in centers:
+            d = np.linalg.norm(xy - np.asarray([cx, cy]), axis=1).min()
+            assert d < 4.0, (cy, cx, d)
+
+    def test_flat_image_no_blobs(self):
+        img = jnp.full((64, 64), 100.0)
+        _, _, valid = boxlog.detect_blobs(img, n_keep=5)
+        assert not bool(valid.any())
+
+
+class TestOptimizeSim3:
+    def test_refines_perturbed_sim3(self, rng):
+        cam = camera.EUROC_CAM
+        n = 80
+        uv = rng.uniform([80, 80], [cam.width - 80, cam.height - 80], (n, 2)).astype(np.float32)
+        z = rng.uniform(3, 10, n).astype(np.float32)
+        x1 = np.asarray(camera.backproject(cam, jnp.asarray(uv), jnp.asarray(z)))
+        S21_gt = s3.make_sim3(
+            quat.v2q(jnp.asarray([0.04, -0.02, 0.06])), jnp.asarray([0.3, -0.1, 0.2]),
+            jnp.asarray(1.3),
+        )
+        x2 = np.asarray(s3.transform_point(S21_gt[None], jnp.asarray(x1)))
+        uv1, _, _ = camera.project(cam, jnp.asarray(x1))
+        uv2, _, _ = camera.project(cam, jnp.asarray(x2))
+        S12_gt = s3.inverse(S21_gt)
+        # Perturb and refine.
+        pert = s3.exp(jnp.asarray([0.02, -0.01, 0.03, 0.01, -0.005, 0.01, 0.03]))
+        S0 = s3.compose(pert, S12_gt)
+        S, inl = sim3_solver.optimize_sim3(
+            cam, S0, jnp.asarray(x1), jnp.asarray(x2), uv1, uv2,
+            jnp.ones(n), jnp.ones(n), jnp.ones(n, bool),
+        )
+        assert int(inl.sum()) > 70
+        np.testing.assert_allclose(float(s3.s_of(S)), float(s3.s_of(S12_gt)), rtol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(s3.t_of(S)), np.asarray(s3.t_of(S12_gt)), atol=0.01
+        )
+
+
+class TestTimeLog:
+    def test_stages_and_dump(self, tmp_path):
+        tl = timing.TimeLog()
+        tl.start_frame(1.5)
+        tl.begin("extraction")
+        tl.end()
+        tl.end_frame(lmk_tracked=10, lmk_inlier=8)
+        assert len(tl.frames) == 1
+        assert "extraction" in tl.frames[0].stages_ms
+        p = str(tmp_path / "t.txt")
+        tl.save(p)
+        lines = open(p).read().strip().split("\n")
+        assert len(lines) == 2 and lines[0].startswith("#")
+        s = tl.summary()
+        assert s["total"]["mean_ms"] >= 0
