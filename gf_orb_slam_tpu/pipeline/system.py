@@ -65,7 +65,8 @@ class SlamConfig:
     vocab_train_kfs: int = 4        # train the vocabulary once this many KFs exist
     loop_min_kf_gap: int = 10       # don't try loops against recent keyframes
     max_lost_frames: int = 100      # give up after this many LOST frames (ref 5s rule)
-    pipelined: bool = False         # one-frame-late readback (hides device RTT)
+    pipelined: bool = False         # late readback (hides device/fetch RTT)
+    pipeline_depth: int = 3         # frames in flight when pipelined
 
 
 @dataclass
@@ -120,7 +121,7 @@ class SlamSystem:
         self.loop_detector = loop_closing.LoopDetector()
         self.n_loops_closed = 0
         self.lost_frames = 0
-        self._inflight = None
+        self._inflight = []  # deque of dispatched-but-unfinalized frames
         from gf_orb_slam_tpu.io_utils.timing import TimeLog
 
         self.time_log = TimeLog()
@@ -282,31 +283,37 @@ class SlamSystem:
         self.last_ts = timestamp
         self.frames_since_init += 1
 
-        prev = self._inflight
-        self._inflight = (res, frame_now, timestamp, self.frame_id, log)
-        if cfg.pipelined:
-            if prev is not None:
-                self._finalize_tracked(*prev)
-        else:
-            entry, self._inflight = self._inflight, None
-            self._finalize_tracked(*entry)
+        # Start the host copies NOW so the fetch RTT overlaps with the next
+        # frames' dispatch/compute instead of blocking at finalize time.
+        for a in (res.ok, res.n_inliers, res.pose):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                break
+        self._inflight.append((res, frame_now, timestamp, self.frame_id, log))
+        depth = cfg.pipeline_depth if cfg.pipelined else 1
+        while len(self._inflight) >= depth or (not cfg.pipelined and self._inflight):
+            entry = self._inflight.pop(0)
+            if not self._finalize_tracked(*entry):
+                break
         self.time_log.end("local_map_track")
 
     def flush(self):
-        """Finalize the last in-flight frame (pipelined mode); call at
-        sequence end before reading the trajectory."""
-        if self._inflight is not None:
-            entry, self._inflight = self._inflight, None
-            self._finalize_tracked(*entry)
+        """Finalize all in-flight frames (pipelined mode); call at sequence
+        end before reading the trajectory."""
+        while self._inflight:
+            entry = self._inflight.pop(0)
+            if not self._finalize_tracked(*entry):
+                break
 
     def _finalize_tracked(self, res, frame_now, timestamp, frame_id, log):
         cfg = self.cfg
         ok_np, n_inl_np, pose_np = jax.device_get((res.ok, res.n_inliers, res.pose))
         if not bool(ok_np):
             self.state = State.LOST
-            self._inflight = None  # anything dispatched after the failure is garbage
+            self._inflight = []  # anything dispatched after the failure is garbage
             self.last_frame = frame_now  # reloc can reuse this extraction
-            return
+            return False
 
         n_inliers = int(n_inl_np)
         log.pose_cw = np.asarray(pose_np)
@@ -328,6 +335,7 @@ class SlamSystem:
             )
             self._insert_keyframe(frame_now, track_like, timestamp, frame_id=frame_id)
             self.time_log.end("keyframe_insert")
+        return True
 
     # ------------------------------------------------------------------
     def _relocalize(self, frame, timestamp, log):
