@@ -50,6 +50,7 @@ class SlamConfig:
     max_points: int = 16384
     use_motion_model: bool = True
     use_gf: bool = False            # Good-Feature selection in local-map tracking
+    gf_mode: str = "subset"         # "subset" (select-then-match-all) | "active"
     gf_budget: int = 100
     gf_warmup_frames: int = 40      # ref: GF off for ~5s after init (Tracking.h:104)
     max_frames_between_kf: int = 12  # ref mMaxFrames = 18*fps/30, scaled down
@@ -267,7 +268,7 @@ class SlamSystem:
             self.velocity if cfg.use_motion_model else se3.identity_pose(),
             jnp.asarray(dt, jnp.float32), self._next_key(),
             scale=cfg.scale, n_levels=cfg.n_levels,
-            gf_budget=cfg.gf_budget, use_gf=use_gf,
+            gf_budget=cfg.gf_budget, use_gf=use_gf, gf_mode=cfg.gf_mode,
         )
         frame_now = frame_mod.FrameData(
             uv=res.frame_uv, uv_raw=res.frame_uv, octave=res.frame_octave,

@@ -130,6 +130,7 @@ class LocalMapTrackResult(NamedTuple):
     jax.jit,
     static_argnames=(
         "cam", "scale", "n_levels", "radius", "min_inliers", "gf_budget", "use_gf",
+        "gf_mode",
     ),
 )
 def track_local_map(
@@ -146,6 +147,7 @@ def track_local_map(
     min_inliers: int = 15,
     gf_budget: int = 100,
     use_gf: bool = False,
+    gf_mode: str = "subset",
 ) -> LocalMapTrackResult:
     """ref Tracking::TrackLocalMap (cc:2732-2830) + SearchReferencePointsInFrustum
     (cc:3149-3360): gather the covisibility-local map, frustum-filter, match by
@@ -177,18 +179,25 @@ def track_local_map(
     in_range = (dist >= m.pt_min_dist) & (dist <= m.pt_max_dist)
     visible = search_pts & front & in_img & in_range & (cos_view > 0.5)
 
-    # --- optional Good-Feature subset selection over the visible candidates ---
+    # --- optional Good-Feature selection over the visible candidates ---
     if use_gf:
         jac = observability.measurement_jacobians(cam, Xv, m.pt_pos)
         sigma2_pt = jnp.ones((P,))  # per-point σ² prior (octave applied at match time)
+        # blocks for ALL geometrically visible points (incl. already-matched
+        # ones — active mode needs their info as the prior).
         blocks = observability.info_matrices(
-            observability.whiten(jac.H, sigma2_pt), visible & jac.visible
+            observability.whiten(jac.H, sigma2_pt), jac.visible & m.pt_valid
         )
-        sel = selection.lazier_greedy_maxlogdet(
-            blocks, visible & jac.visible, k=gf_budget, key=gf_key
-        )
-        match_pts = sel.selected
-        gf_selected = sel.selected
+        if gf_mode == "subset":
+            sel = selection.lazier_greedy_maxlogdet(
+                blocks, visible & jac.visible, k=gf_budget, key=gf_key
+            )
+            match_pts = sel.selected
+            gf_selected = sel.selected
+        else:
+            # "active": match attempts decided by marginal gain below.
+            match_pts = visible
+            gf_selected = jnp.zeros((P,), bool)
     else:
         match_pts = visible
         gf_selected = jnp.zeros((P,), bool)
@@ -209,6 +218,24 @@ def track_local_map(
         mutual=True,
     )
     hit = res.matched & match_pts
+
+    if use_gf and gf_mode == "active":
+        # Select-then-match by marginal logDet gain (ref runActiveMapMatching):
+        # info prior from the already-matched features, then gain-greedy
+        # attempts where failed matches consume budget.
+        from gf_orb_slam_tpu.gf import active_matching as am
+
+        cur_blocks = jnp.where(
+            (obs_point >= 0)[..., None, None],
+            blocks[jnp.maximum(obs_point, 0)], 0.0,
+        )
+        info_init = jnp.sum(cur_blocks, axis=0)
+        act = am.active_match(
+            blocks, visible & jac.visible, hit, res.idx, info_init,
+            budget=gf_budget,
+        )
+        hit = act.matched
+        gf_selected = act.matched
 
     obs = obs_point
     obs = obs.at[jnp.where(hit, res.idx, N)].set(
@@ -260,7 +287,7 @@ class FusedTrackResult(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("cam", "orb_cfg", "scale", "n_levels", "gf_budget", "use_gf"),
+    static_argnames=("cam", "orb_cfg", "scale", "n_levels", "gf_budget", "use_gf", "gf_mode"),
 )
 def track_frame_fused(
     cam: CameraModel,
@@ -277,6 +304,7 @@ def track_frame_fused(
     n_levels: int = 8,
     gf_budget: int = 100,
     use_gf: bool = False,
+    gf_mode: str = "subset",
 ) -> FusedTrackResult:
     """The whole per-frame WORKING path as ONE program: ORB extraction →
     motion-model tracking (with built-in wide-radius retry) → local-map
@@ -314,6 +342,7 @@ def track_frame_fused(
     r2 = track_local_map(
         cam, m, frame, pose1, obs1, Xv, key,
         scale=scale, n_levels=n_levels, gf_budget=gf_budget, use_gf=use_gf,
+        gf_mode=gf_mode,
     )
     ok = ok1 & r2.ok
     new_velocity = se3.compose(r2.pose, se3.inverse(last_pose))
