@@ -26,7 +26,17 @@ BIG = jnp.int32(10_000)
 
 
 def hamming_matrix(desc_q: jnp.ndarray, desc_t: jnp.ndarray) -> jnp.ndarray:
-    """(Nq, 8) × (Nt, 8) uint32 → (Nq, Nt) int32 Hamming distances."""
+    """(Nq, 8) × (Nt, 8) uint32 → (Nq, Nt) int32 Hamming distances.
+
+    Large shapes on TPU use the tiled Pallas kernel (ops/pallas_kernels.py),
+    which streams descriptor tiles through VMEM instead of materializing the
+    (Nq, Nt, 8) XOR intermediate; small shapes and other backends use the
+    plain XLA expression.
+    """
+    if jax.default_backend() == "tpu" and desc_q.shape[0] * desc_t.shape[0] >= (1 << 20):
+        from gf_orb_slam_tpu.ops.pallas_kernels import hamming_matrix_pallas
+
+        return hamming_matrix_pallas(desc_q, desc_t)
     x = jnp.bitwise_xor(desc_q[:, None, :], desc_t[None, :, :])
     return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
 

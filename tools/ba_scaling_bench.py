@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Distributed global BA scaling benchmark (BASELINE.json configs 4-5).
+
+Measures time per LM iteration of the keyframe-sharded global BA across mesh
+sizes and reports scaling efficiency. On a multi-chip/multi-host platform the
+mesh spans real devices (ICI/DCN); with --virtual N it uses
+xla_force_host_platform_device_count to validate the collective structure.
+
+  python tools/ba_scaling_bench.py --virtual 8 --cams 64 --points 4096
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--virtual", type=int, default=0,
+                    help="force N virtual CPU devices (0 = use real devices)")
+    ap.add_argument("--cams", type=int, default=64)
+    ap.add_argument("--points", type=int, default=4096)
+    ap.add_argument("--obs-per-cam", type=int, default=512)
+    ap.add_argument("--lm-iters", type=int, default=6)
+    ap.add_argument("--pcg-iters", type=int, default=20)
+    args = ap.parse_args()
+
+    if args.virtual:
+        flags = os.environ.get("XLA_FLAGS", "")
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={args.virtual}"
+        ).strip()
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gf_orb_slam_tpu.geometry import camera, quat, se3
+    from gf_orb_slam_tpu.geometry.camera import project
+    from gf_orb_slam_tpu.parallel import global_ba
+    from gf_orb_slam_tpu.solvers.local_ba import BAProblem
+
+    cam = camera.EUROC_CAM
+    rng = np.random.default_rng(0)
+    C, P, N = args.cams, args.points, args.obs_per_cam
+
+    pts = rng.uniform([-8, -6, 5.0], [8, 6, 20.0], (P, 3)).astype(np.float32)
+    poses, obs_uv, obs_pt, obs_w = [], [], [], []
+    for c in range(C):
+        t = np.asarray([8.0 * c / C - 4.0, 0.2 * np.sin(c), 0.0], np.float32)
+        w = (rng.normal(size=3) * 0.02).astype(np.float32)
+        pose = np.asarray(se3.make_pose(quat.v2q(jnp.asarray(w)), jnp.asarray(t)))
+        uv, _, ok = project(cam, se3.transform_point(jnp.asarray(pose), jnp.asarray(pts)))
+        vis = np.nonzero(np.asarray(ok))[0]
+        rng.shuffle(vis)
+        sel = vis[:N]
+        row_uv = np.zeros((N, 2), np.float32)
+        row_pt = np.full(N, -1, np.int32)
+        row_w = np.zeros(N, np.float32)
+        row_uv[: len(sel)] = np.asarray(uv)[sel] + rng.normal(0, 0.5, (len(sel), 2))
+        row_pt[: len(sel)] = sel
+        row_w[: len(sel)] = 1.0
+        poses.append(pose)
+        obs_uv.append(row_uv)
+        obs_pt.append(row_pt)
+        obs_w.append(row_w)
+
+    prob = BAProblem(
+        poses=jnp.asarray(np.stack(poses)),
+        points=jnp.asarray(pts + rng.normal(0, 0.05, pts.shape).astype(np.float32)),
+        fixed=jnp.asarray([True, True] + [False] * (C - 2)),
+        point_valid=jnp.ones(P, bool),
+        obs_uv=jnp.asarray(np.stack(obs_uv)),
+        obs_point=jnp.asarray(np.stack(obs_pt)),
+        obs_w=jnp.asarray(np.stack(obs_w)),
+    )
+
+    n_dev = len(jax.devices())
+    sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev and C % d == 0]
+    results = {}
+    for d in sizes:
+        mesh = global_ba.make_mesh(d)
+        run = lambda: global_ba.distributed_bundle_adjust(
+            cam, prob, mesh, n_lm_iters=args.lm_iters, n_pcg_iters=args.pcg_iters
+        )
+        out = run()
+        jax.block_until_ready(out.poses)
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            out = run()
+            jax.block_until_ready(out.poses)
+        dt = (time.perf_counter() - t0) / reps / args.lm_iters * 1e3
+        results[d] = dt
+        eff = results[sizes[0]] * sizes[0] / (dt * d) if d > sizes[0] else 1.0
+        print(
+            f"devices={d:3d}  ms/LM-iter={dt:8.2f}  cost={float(out.cost):10.1f}  "
+            f"scaling-eff={eff:5.2f}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
