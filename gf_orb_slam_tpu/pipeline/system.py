@@ -299,6 +299,27 @@ class SlamSystem:
                 break
         self.time_log.end("local_map_track")
 
+    def reset(self):
+        """Full system reset (ref Tracking::Reset, src/Tracking.cc:4057):
+        clear the map, BoW state, and return to NOT_INITIALIZED. The
+        trajectory so far is kept for evaluation."""
+        self.map = ms.empty_map(
+            max_keyframes=self.cfg.max_keyframes,
+            max_points=self.cfg.max_points,
+            max_kps=2 * self.cfg.n_features,
+        )
+        self.state = State.NOT_INITIALIZED
+        self.n_kf = 0
+        self.n_ref_tracked = 0
+        self.velocity = None
+        self.init_frame = None
+        self.last_obs = None
+        self.bow_db = None
+        self.voc = None
+        self.loop_detector.reset()
+        self.lost_frames = 0
+        self._inflight = []
+
     def flush(self):
         """Finalize all in-flight frames (pipelined mode); call at sequence
         end before reading the trajectory."""
@@ -311,9 +332,13 @@ class SlamSystem:
         cfg = self.cfg
         ok_np, n_inl_np, pose_np = jax.device_get((res.ok, res.n_inliers, res.pose))
         if not bool(ok_np):
-            self.state = State.LOST
             self._inflight = []  # anything dispatched after the failure is garbage
-            self.last_frame = frame_now  # reloc can reuse this extraction
+            if self.n_kf <= 5:
+                # ref: reset the whole map when lost early (Tracking.cc:719-726).
+                self.reset()
+            else:
+                self.state = State.LOST
+                self.last_frame = frame_now  # reloc can reuse this extraction
             return False
 
         n_inliers = int(n_inl_np)
@@ -431,12 +456,10 @@ class SlamSystem:
         cand, ok = kdb.detect_loop_candidates(
             self.bow_db, covis, jnp.asarray(kf_int), max_candidates=6
         )
-        cand_np = np.asarray(cand)
-        ok_np = np.asarray(ok)
+        # One combined fetch (candidates + covisibility) — one tunnel RTT.
+        cand_np, ok_np, covis_np = jax.device_get((cand, ok, covis))
         # Exclude recent keyframes (temporal gap).
         ok_np = ok_np & (cand_np < kf_int - self.cfg.loop_min_kf_gap)
-
-        covis_np = np.asarray(covis)
 
         def covis_row_of(c):
             return np.nonzero(covis_np[c] > 15)[0].tolist()
@@ -490,11 +513,16 @@ class SlamSystem:
             n_tri_neighbors=cfg.triangulate_neighbors,
         )
         self.map = res.m
-        kf_int = int(res.kf_id)
-        culled = int(res.culled_kf)
+        # One combined fetch for all insertion scalars (each separate fetch
+        # costs a full tunnel RTT).
+        kf_np, culled_np, ref_np = jax.device_get(
+            (res.kf_id, res.culled_kf, jnp.sum((track_res.obs_point >= 0).astype(jnp.int32)))
+        )
+        kf_int = int(kf_np)
+        culled = int(culled_np)
         self.n_kf += 1
         self.last_kf_frame = frame_id
-        self.n_ref_tracked = int((track_res.obs_point >= 0).sum())
+        self.n_ref_tracked = int(ref_np)
         if culled >= 0 and self.bow_db is not None:
             self.bow_db = kdb.erase_keyframe(self.bow_db, jnp.asarray(culled))
 
