@@ -281,6 +281,35 @@ def _motions_from_H(H, cam: CameraModel):
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("cam", "min_triangulated"))
+def initialize_with_prior(
+    cam: CameraModel,
+    uv1: jnp.ndarray,
+    uv2: jnp.ndarray,
+    matched: jnp.ndarray,
+    pose21: jnp.ndarray,
+    min_triangulated: int = 50,
+) -> TwoViewResult:
+    """Structure-only initialization with an external motion prior (ref
+    Initializer::Initialize_withRT, include/Initializer.h:68-70, enabled by
+    INIT_WITH_MOTION_PRIOR; exercised by test/test_Initial.cpp): R, t are
+    given (odometry/IMU), only the structure is triangulated and gated."""
+    from gf_orb_slam_tpu.geometry import quat as quat_mod
+
+    R = quat_mod.q2r(quat_mod.qnormalize(se3.pose_q(pose21)))
+    t = se3.pose_t(pose21)
+    n_good, good, parallax, X = _check_rt(R, t, cam, uv1, uv2, matched)
+    success = n_good >= min_triangulated
+    return TwoViewResult(
+        success=success,
+        pose21=pose21,
+        points3d=X,
+        is_triangulated=good,
+        used_homography=jnp.asarray(False),
+        n_good=n_good,
+    )
+
+
 @partial(jax.jit, static_argnames=("cam", "n_hypotheses", "min_triangulated"))
 def initialize_two_view(
     cam: CameraModel,

@@ -148,6 +148,20 @@ class TestTwoViewInit:
         cos = abs(t_est @ t_gt) / (np.linalg.norm(t_est) * np.linalg.norm(t_gt))
         assert cos > 0.99, cos
 
+    def test_initialize_with_prior(self, rng):
+        """Structure-only init with ground-truth motion (mirrors the
+        reference's test_Initial.cpp StructureOnly fixture)."""
+        cam = camera.EUROC_CAM
+        uv1, uv2, ok, pose21_gt, pts = self.make_pair(rng, cam, planar=False)
+        res = initializer.initialize_with_prior(cam, uv1, uv2, ok, pose21_gt)
+        assert bool(res.success)
+        tri = np.asarray(res.is_triangulated)
+        assert tri.sum() > 150
+        X = np.asarray(res.points3d)[tri]
+        gt = np.asarray(pts)[tri]
+        err = np.linalg.norm(X - gt, axis=1)
+        assert np.median(err) < 0.2  # DLT noise floor at 0.4 px, ~9 m depth
+
     def test_degenerate_no_baseline_fails(self, rng):
         """Pure rotation (no parallax) must not report success."""
         cam = camera.EUROC_CAM
