@@ -109,7 +109,11 @@ def detect_keypoints(
     strong = cells >= threshold
     weak = cells >= min_threshold
     rank = jnp.where(strong, cells + 1e6, jnp.where(weak, cells + 1e3, -1.0))
-    top_vals, top_idx = jax.lax.top_k(rank, cell_cap)  # (G², cap)
+    # approx_max_k: TPU-optimized partial sort (exact top_k is a full sort and
+    # dominates detection time; 95% recall on corner candidates is harmless —
+    # the per-cell cap already has 4× slack over the final quota).
+    top_vals, top_idx = jax.lax.approx_max_k(rank, cell_cap, recall_target=0.95)
+    top_idx = top_idx.astype(jnp.int32)
 
     # Recover global pixel coordinates of per-cell winners.
     cell_ids = jax.lax.broadcasted_iota(jnp.int32, (grid * grid, cell_cap), 0)
@@ -125,7 +129,8 @@ def detect_keypoints(
     # The per-cell cap bounds density; the two-tier bonus keeps weak-only cells
     # represented when strong corners are scarce — same net behavior as the
     # reference's quota redistribution loop.
-    best, pick = jax.lax.top_k(flat_rank, n_keep)
+    best, pick = jax.lax.approx_max_k(flat_rank, n_keep, recall_target=0.95)
+    pick = pick.astype(jnp.int32)
     valid = best > 0.0
     resp = jnp.where(best >= 1e6, best - 1e6, jnp.where(best >= 1e3, best - 1e3, 0.0))
     xy = jnp.stack([flat_x[pick].astype(jnp.float32), flat_y[pick].astype(jnp.float32)], axis=-1)

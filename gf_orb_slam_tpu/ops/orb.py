@@ -94,14 +94,34 @@ def _moment_masks() -> np.ndarray:
     return np.stack([xs * disc, ys * disc]).astype(np.float32)
 
 
-def moment_maps(img: jnp.ndarray) -> jnp.ndarray:
-    """Dense (2, H, W) maps of (m10, m01) centroid moments via one conv."""
+def moment_maps_circular(img: jnp.ndarray) -> jnp.ndarray:
+    """Exact circular-disc (m10, m01) maps via one dense 31×31 conv — the
+    reference-faithful version (slow: ~0.7 GMAC/frame)."""
     masks = jnp.asarray(_moment_masks())  # (2, 31, 31)
     x = img[None, None, :, :].astype(jnp.float32)
     k = masks[:, None, :, :]  # OIHW
     out = jax.lax.conv_general_dilated(
         x, k, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out[0]  # (2, H, W)
+
+
+def moment_maps(img: jnp.ndarray) -> jnp.ndarray:
+    """(2, H, W) circular-disc centroid-moment maps, bf16 conv on the MXU.
+
+    The disc support must stay circular — a square window does not commute
+    with image rotation, which breaks descriptor steering. bf16 inputs halve
+    the conv cost; moments are large sums, so the 0.4% relative error moves
+    the IC angle by ≲0.3°, far below the 12° steering bin.
+    """
+    masks = jnp.asarray(_moment_masks())  # (2, 31, 31)
+    x = img[None, None, :, :].astype(jnp.bfloat16)
+    k = masks[:, None, :, :].astype(jnp.bfloat16)
+    out = jax.lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
     )
     return out[0]  # (2, H, W)
 

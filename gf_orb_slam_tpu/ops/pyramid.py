@@ -9,7 +9,7 @@ pyramid entirely on device.
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -25,18 +25,48 @@ def pyramid_shapes(height: int, width: int, n_levels: int, scale: float):
     return shapes
 
 
+def _resize_matrix(n_out: int, n_in: int, antialias: bool = True) -> np.ndarray:
+    """(n_out, n_in) linear-interpolation matrix with triangle antialiasing —
+    resize as a dense matmul, which the MXU executes orders of magnitude
+    faster than gather-based image resize."""
+    scale = n_in / n_out
+    support = max(scale, 1.0) if antialias else 1.0
+    A = np.zeros((n_out, n_in), np.float32)
+    for o in range(n_out):
+        center = (o + 0.5) * scale - 0.5
+        lo = int(np.floor(center - support))
+        hi = int(np.ceil(center + support))
+        idx = np.clip(np.arange(lo, hi + 1), 0, n_in - 1)
+        w = np.maximum(0.0, 1.0 - np.abs(np.arange(lo, hi + 1) - center) / support)
+        if w.sum() > 0:
+            np.add.at(A[o], idx, w / w.sum())
+    return A
+
+
+@lru_cache(maxsize=None)
+def _resize_mats(h_out: int, w_out: int, h_in: int, w_in: int):
+    # Cache NUMPY (not device arrays): device constants created inside one jit
+    # trace must not be reused by another (tracer leak on some backends).
+    return _resize_matrix(h_out, h_in), _resize_matrix(w_out, w_in)
+
+
+def resize_matmul(img: jnp.ndarray, shape: tuple[int, int]) -> jnp.ndarray:
+    """Bilinear+antialias resize as two matmuls: A_h @ img @ A_wᵀ."""
+    Ah, Aw = _resize_mats(shape[0], shape[1], img.shape[0], img.shape[1])
+    return (jnp.asarray(Ah) @ img) @ jnp.asarray(Aw).T
+
+
 def build_pyramid(img: jnp.ndarray, n_levels: int, scale: float) -> list[jnp.ndarray]:
     """Grayscale f32 [H, W] → list of n_levels images, level l scaled by scale^-l.
 
     Each level is resized from the previous one (matching the reference's
     cascade, which controls aliasing better than direct scaling from level 0).
+    Resize runs as matmuls on the MXU (see resize_matmul).
     """
     shapes = pyramid_shapes(img.shape[0], img.shape[1], n_levels, scale)
     levels = [img.astype(jnp.float32)]
     for lv in range(1, n_levels):
-        levels.append(
-            jax.image.resize(levels[-1], shapes[lv], method="linear", antialias=True)
-        )
+        levels.append(resize_matmul(levels[-1], shapes[lv]))
     return levels
 
 
