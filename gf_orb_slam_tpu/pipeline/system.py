@@ -24,6 +24,7 @@ from gf_orb_slam_tpu.mapping import frame as frame_mod
 from gf_orb_slam_tpu.mapping import keyframe_ops
 from gf_orb_slam_tpu.mapping import map_state as ms
 from gf_orb_slam_tpu.ops import matching, orb
+from gf_orb_slam_tpu.pipeline import track_view as tv
 from gf_orb_slam_tpu.pipeline import tracking
 from gf_orb_slam_tpu.retrieval import keyframe_db as kdb
 from gf_orb_slam_tpu.retrieval import vocabulary as voc_mod
@@ -65,6 +66,7 @@ class SlamConfig:
     vocab_L: int = 3
     vocab_train_kfs: int = 4        # train the vocabulary once this many KFs exist
     loop_min_kf_gap: int = 10       # don't try loops against recent keyframes
+    view_size: int = 4096           # local-map tracking view capacity
     max_lost_frames: int = 100      # give up after this many LOST frames (ref 5s rule)
     pipelined: bool = False         # late readback (hides device/fetch RTT)
     pipeline_depth: int = 3         # frames in flight when pipelined
@@ -123,6 +125,7 @@ class SlamSystem:
         self.n_loops_closed = 0
         self.lost_frames = 0
         self._inflight = []  # deque of dispatched-but-unfinalized frames
+        self.track_view = tv.empty_view(self.cfg.view_size, self.cfg.max_points)
         from gf_orb_slam_tpu.io_utils.timing import TimeLog
 
         self.time_log = TimeLog()
@@ -237,6 +240,7 @@ class SlamSystem:
         m = ms.refresh_point_stats(m, scale=self.cfg.scale, n_levels=self.cfg.n_levels)
         self.map = m
 
+        self.track_view = tv.compute_track_view(m, jnp.asarray(1), view_size=self.cfg.view_size)
         self.last_pose = m.kf_pose[1]
         self.last_obs = m.kf_obs_point[1]
         self.last_frame = frame
@@ -263,7 +267,7 @@ class SlamSystem:
 
         self.time_log.begin("local_map_track")
         res = tracking.track_frame_fused(
-            self.cam, self.orb_cfg, self.map, img,
+            self.cam, self.orb_cfg, self.map, self.track_view, img,
             self.last_pose, self.last_obs, self.last_frame.uv,
             self.velocity if cfg.use_motion_model else se3.identity_pose(),
             jnp.asarray(dt, jnp.float32), self._next_key(),
@@ -319,6 +323,7 @@ class SlamSystem:
         self.loop_detector.reset()
         self.lost_frames = 0
         self._inflight = []
+        self.track_view = tv.empty_view(self.cfg.view_size, self.cfg.max_points)
 
     def flush(self):
         """Finalize all in-flight frames (pipelined mode); call at sequence
@@ -404,14 +409,16 @@ class SlamSystem:
                 continue
             obs0 = jnp.where(pr.inliers, m.kf_obs_point[c][res.idx], ms.NO_POINT)
             Xv = jnp.zeros(13, jnp.float32).at[3].set(1.0)
+            reloc_view = tv.compute_track_view(m, jnp.asarray(c), view_size=self.cfg.view_size)
             r2 = tracking.track_local_map(
-                self.cam, m, frame, pr.pose, obs0, Xv, self._next_key(),
+                self.cam, m, reloc_view, frame, pr.pose, obs0, Xv, self._next_key(),
                 scale=self.cfg.scale, n_levels=self.cfg.n_levels,
                 min_inliers=25, use_gf=False,
             )
             if not bool(r2.ok):
                 continue
             # Relocalized.
+            self.track_view = reloc_view
             self.state = State.WORKING
             self.lost_frames = 0
             self.last_reloc_frame = self.frame_id
@@ -477,6 +484,9 @@ class SlamSystem:
             )
             self.n_loops_closed += 1
             self.loop_detector.reset()
+            self.track_view = tv.compute_track_view(
+                self.map, jnp.asarray(kf_int), view_size=self.cfg.view_size
+            )
             return True
         return False
 
@@ -525,6 +535,11 @@ class SlamSystem:
         self.n_ref_tracked = int(ref_np)
         if culled >= 0 and self.bow_db is not None:
             self.bow_db = kdb.erase_keyframe(self.bow_db, jnp.asarray(culled))
+
+        # Refresh the compact tracking view around the new keyframe.
+        self.track_view = tv.compute_track_view(
+            self.map, res.kf_id, view_size=cfg.view_size
+        )
 
         # --- place recognition: vocabulary, BoW registration, loop closing ---
         self._maybe_train_vocabulary()

@@ -136,9 +136,10 @@ class LocalMapTrackResult(NamedTuple):
 def track_local_map(
     cam: CameraModel,
     m: ms.MapState,
+    view,                       # track_view.TrackView — compact local-map snapshot
     frame: FrameData,
     pose: jnp.ndarray,
-    obs_point: jnp.ndarray,     # (N,) current matches from initial tracking
+    obs_point: jnp.ndarray,     # (N,) current matches from initial tracking (global ids)
     Xv: jnp.ndarray,            # (13,) PWLS state for GF Jacobians
     gf_key: jnp.ndarray,
     scale: float = 1.2,
@@ -150,84 +151,84 @@ def track_local_map(
     gf_mode: str = "subset",
 ) -> LocalMapTrackResult:
     """ref Tracking::TrackLocalMap (cc:2732-2830) + SearchReferencePointsInFrustum
-    (cc:3149-3360): gather the covisibility-local map, frustum-filter, match by
-    projection (optionally restricted to the Max-logDet GF subset), optimize.
+    (cc:3149-3360), over the compact per-keyframe TrackView: frustum-filter the
+    ~4k candidates, optionally restrict by Max-logDet GF selection (subset or
+    active mode), match by projection, optimize the pose.
     """
     N = frame.capacity
     P = m.pt_capacity
+    V = view.capacity
+    safe_ids = jnp.minimum(view.ids, P - 1)
 
-    # --- local map: points seen by keyframes that share points with the frame ---
-    A = ms.incidence(m)                       # (K, P)
-    cur_pts = jnp.zeros((P,), bool).at[jnp.maximum(obs_point, 0)].max(obs_point >= 0)
-    kf_shares = (A & cur_pts[None, :]).sum(axis=1)        # (K,)
-    local_kfs = kf_shares > 0
-    local_pts = (A & local_kfs[:, None]).any(axis=0) & m.pt_valid
-    # Exclude points already matched (they are added directly to the optimizer).
-    search_pts = local_pts & ~cur_pts
+    pos_v = m.pt_pos[safe_ids]                            # (V, 3)
+    valid_v = view.valid & m.pt_valid[safe_ids]
 
-    # --- frustum check (ref Frame::isInFrustum) ---
-    xc = se3.transform_point(pose, m.pt_pos)
+    # Exclude candidates already matched by the initial tracking stage.
+    cur_mask = jnp.zeros((P,), bool).at[jnp.maximum(obs_point, 0)].max(obs_point >= 0)
+    search_v = valid_v & ~cur_mask[safe_ids]
+
+    # --- frustum check (ref Frame::isInFrustum) over the view ---
+    xc = se3.transform_point(pose, pos_v)
     uv_proj, depth, front = project(cam, xc)
-    centers = se3.pose_t(se3.inverse(pose))
-    view = m.pt_pos - centers[None, :]
-    dist = jnp.linalg.norm(view, axis=-1)
-    cos_view = jnp.sum(view * m.pt_normal, axis=-1) / jnp.maximum(dist, 1e-9)
+    center = se3.pose_t(se3.inverse(pose))
+    vec = pos_v - center[None, :]
+    dist = jnp.linalg.norm(vec, axis=-1)
+    cos_view = jnp.sum(vec * view.normal, axis=-1) / jnp.maximum(dist, 1e-9)
     in_img = (
         (uv_proj[:, 0] >= 0) & (uv_proj[:, 0] < cam.width)
         & (uv_proj[:, 1] >= 0) & (uv_proj[:, 1] < cam.height)
     )
-    in_range = (dist >= m.pt_min_dist) & (dist <= m.pt_max_dist)
-    visible = search_pts & front & in_img & in_range & (cos_view > 0.5)
+    in_range = (dist >= view.min_dist) & (dist <= view.max_dist)
+    visible = search_v & front & in_img & in_range & (cos_view > 0.5)
 
     # --- optional Good-Feature selection over the visible candidates ---
     if use_gf:
-        jac = observability.measurement_jacobians(cam, Xv, m.pt_pos)
-        sigma2_pt = jnp.ones((P,))  # per-point σ² prior (octave applied at match time)
-        # blocks for ALL geometrically visible points (incl. already-matched
-        # ones — active mode needs their info as the prior).
+        jac = observability.measurement_jacobians(cam, Xv, pos_v)
         blocks = observability.info_matrices(
-            observability.whiten(jac.H, sigma2_pt), jac.visible & m.pt_valid
+            observability.whiten(jac.H, jnp.ones((V,))), jac.visible & valid_v
         )
         if gf_mode == "subset":
             sel = selection.lazier_greedy_maxlogdet(
                 blocks, visible & jac.visible, k=gf_budget, key=gf_key
             )
-            match_pts = sel.selected
-            gf_selected = sel.selected
+            match_v = sel.selected
+            gf_sel_v = sel.selected
         else:
-            # "active": match attempts decided by marginal gain below.
-            match_pts = visible
-            gf_selected = jnp.zeros((P,), bool)
+            match_v = visible
+            gf_sel_v = jnp.zeros((V,), bool)
     else:
-        match_pts = visible
-        gf_selected = jnp.zeros((P,), bool)
+        match_v = visible
+        gf_sel_v = jnp.zeros((V,), bool)
 
     # --- projection matching of candidates into the frame ---
-    pred_oct = _predict_octave(dist, m.pt_max_dist, scale, n_levels)
+    pred_oct = _predict_octave(dist, view.max_dist, scale, n_levels)
     sf = jnp.asarray([scale**i for i in range(n_levels)])
     rad = radius * sf[pred_oct]
-    # Wider radius when the viewing angle is large (ref th=5 if cos<0.998).
     rad = jnp.where(cos_view < 0.998, rad * (5.0 / 3.0), rad)
 
     free_kp = frame.valid & (obs_point == NO_POINT)
     pmask = matching.projection_mask(
-        uv_proj, match_pts, frame.uv, frame.octave, free_kp, rad, pred_oct
+        uv_proj, match_v, frame.uv, frame.octave, free_kp, rad, pred_oct
     )
     res = matching.match(
-        m.pt_desc, frame.desc, pmask, max_dist=matching.TH_HIGH, ratio=0.8,
+        view.desc, frame.desc, pmask, max_dist=matching.TH_HIGH, ratio=0.8,
         mutual=True,
     )
-    hit = res.matched & match_pts
+    hit = res.matched & match_v
 
     if use_gf and gf_mode == "active":
-        # Select-then-match by marginal logDet gain (ref runActiveMapMatching):
-        # info prior from the already-matched features, then gain-greedy
-        # attempts where failed matches consume budget.
+        # Select-then-match by marginal logDet gain (ref runActiveMapMatching).
         from gf_orb_slam_tpu.gf import active_matching as am
 
-        cur_blocks = jnp.where(
-            (obs_point >= 0)[..., None, None],
-            blocks[jnp.maximum(obs_point, 0)], 0.0,
+        # Info prior from already-matched features: their blocks via the view
+        # would need a reverse lookup; approximate with the pose-visible
+        # matched candidates' blocks (cur matches are outside the search set,
+        # so reconstruct their Jacobians directly from global positions).
+        op = jnp.maximum(obs_point, 0)
+        jac_cur = observability.measurement_jacobians(cam, Xv, m.pt_pos[op])
+        cur_blocks = observability.info_matrices(
+            observability.whiten(jac_cur.H, jnp.ones((N,))),
+            jac_cur.visible & (obs_point >= 0),
         )
         info_init = jnp.sum(cur_blocks, axis=0)
         act = am.active_match(
@@ -235,14 +236,15 @@ def track_local_map(
             budget=gf_budget,
         )
         hit = act.matched
-        gf_selected = act.matched
+        gf_sel_v = act.matched
 
+    # Scatter: frame keypoint slot ← global point id.
     obs = obs_point
     obs = obs.at[jnp.where(hit, res.idx, N)].set(
-        jnp.where(hit, jnp.arange(P, dtype=jnp.int32), 0), mode="drop"
+        jnp.where(hit, view.ids, 0), mode="drop"
     )
 
-    # --- pose optimization over all matches ---
+    # --- pose optimization over all matches (global gather) ---
     op = jnp.maximum(obs, 0)
     valid_obs = obs >= 0
     sigma2 = _level_sigma2(scale, n_levels)[frame.octave]
@@ -251,6 +253,12 @@ def track_local_map(
     )
     obs_final = jnp.where(result.inliers, obs, NO_POINT)
 
+    # (P,)-shaped reporting masks via scatter from the view / frame.
+    def scatter_p(mask_v):
+        return jnp.zeros((P,), bool).at[jnp.where(mask_v, view.ids, P)].set(
+            True, mode="drop"
+        )
+
     found = jnp.zeros((P,), bool).at[jnp.maximum(obs_final, 0)].max(obs_final >= 0)
     ok = result.n_inliers >= min_inliers
     return LocalMapTrackResult(
@@ -258,9 +266,9 @@ def track_local_map(
         obs_point=obs_final,
         n_inliers=result.n_inliers,
         ok=ok,
-        local_points=local_pts,
-        gf_selected=gf_selected,
-        visible_points=visible,
+        local_points=scatter_p(valid_v),
+        gf_selected=scatter_p(gf_sel_v),
+        visible_points=scatter_p(visible),
         found_points=found,
     )
 
@@ -293,6 +301,7 @@ def track_frame_fused(
     cam: CameraModel,
     orb_cfg,
     m: ms.MapState,
+    view,
     img: jnp.ndarray,
     last_pose: jnp.ndarray,
     last_obs: jnp.ndarray,
@@ -340,7 +349,7 @@ def track_frame_fused(
     t0 = jnp.asarray(0.0, pose1.dtype)
     Xv = pwls.state_from_pose_pair(t0, last_pose, t0 + dt, pose1)
     r2 = track_local_map(
-        cam, m, frame, pose1, obs1, Xv, key,
+        cam, m, view, frame, pose1, obs1, Xv, key,
         scale=scale, n_levels=n_levels, gf_budget=gf_budget, use_gf=use_gf,
         gf_mode=gf_mode,
     )
