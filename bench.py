@@ -76,7 +76,8 @@ def main():
 
     def one(i, pose, obs, uv, vel):
         return trk.track_frame_fused(
-            system.cam, system.orb_cfg, system.map, frames[-1] + np.float32(i % 3),
+            system.cam, system.orb_cfg, system.map, system.track_view,
+            frames[-1] + np.float32(i % 3),
             pose, obs, uv, vel, jnp.asarray(0.05, jnp.float32), key,
         )
     r = one(0, pose, obs, uv, vel)

@@ -21,6 +21,9 @@ def save_map(path: str, m: ms.MapState, voc=None, db=None) -> None:
         arrays["voc_centers"] = np.asarray(voc.centers)
         arrays["voc_weights"] = np.asarray(voc.weights)
         arrays["voc_kL"] = np.asarray([voc.k, voc.L])
+        if voc.children is not None:
+            arrays["voc_children"] = np.asarray(voc.children)
+            arrays["voc_word_of_node"] = np.asarray(voc.word_of_node)
     if db is not None:
         arrays.update({f"db_{k}": np.asarray(v) for k, v in db._asdict().items()})
     np.savez_compressed(path, **arrays)
@@ -41,6 +44,14 @@ def load_map(path: str):
             centers=jnp.asarray(z["voc_centers"]),
             weights=jnp.asarray(z["voc_weights"]),
             k=k, L=L,
+            children=(
+                jnp.asarray(z["voc_children"])
+                if "voc_children" in z.files else None
+            ),
+            word_of_node=(
+                jnp.asarray(z["voc_word_of_node"])
+                if "voc_word_of_node" in z.files else None
+            ),
         )
     db = None
     if "db_bow" in z.files:

@@ -131,6 +131,16 @@ class SlamSystem:
         self.time_log = TimeLog()
 
     # ------------------------------------------------------------------
+    def set_vocabulary(self, voc: voc_mod.Vocabulary):
+        """Use a pretrained vocabulary (ref main.cc:92-97 loads ORBvoc at
+        startup) instead of the on-the-fly trained one; survives reset()."""
+        self.voc = voc
+        self._preset_voc = voc
+        self.bow_db = kdb.empty_db(
+            self.map.kf_capacity, self.map.kp_capacity, voc.n_words
+        )
+
+    # ------------------------------------------------------------------
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
         return k
@@ -321,6 +331,8 @@ class SlamSystem:
         self.bow_db = None
         self.voc = None
         self.loop_detector.reset()
+        if getattr(self, "_preset_voc", None) is not None:
+            self.set_vocabulary(self._preset_voc)
         self.lost_frames = 0
         self._inflight = []
         self.track_view = tv.empty_view(self.cfg.view_size, self.cfg.max_points)

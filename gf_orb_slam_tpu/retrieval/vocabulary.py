@@ -26,13 +26,20 @@ N_WORDS_DTYPE = jnp.float32
 
 
 class Vocabulary(NamedTuple):
-    centers: jnp.ndarray   # (n_nodes, 8) uint32 — implicit k-ary tree, root at 0
+    centers: jnp.ndarray   # (n_nodes, 8) uint32 — k-ary tree, root at 0
     weights: jnp.ndarray   # (n_words,) float32 idf weights
     k: int                 # branching factor
     L: int                 # depth (levels below root)
+    # Explicit-tree fields, set only for vocabularies loaded from DBoW2 files
+    # (pretrained trees are incomplete: nodes may have < k children and leaves
+    # may sit above level L). None ⇒ implicit complete tree (node*k+1 layout).
+    children: jnp.ndarray | None = None       # (n_nodes, k) int32 child ids
+    word_of_node: jnp.ndarray | None = None   # (n_nodes,) int32 word id or −1
 
     @property
     def n_words(self) -> int:
+        if self.word_of_node is not None:
+            return int(self.weights.shape[0])
         return self.k**self.L
 
     def first_leaf(self) -> int:
@@ -151,9 +158,38 @@ def _quantize(centers, descs, k: int, L: int):
     return node - first_leaf, mid
 
 
+@partial(jax.jit, static_argnames=("k", "L"))
+def _quantize_explicit(centers, children, word_of_node, descs, k: int, L: int):
+    """Tree descent over an explicit (possibly incomplete) child table.
+
+    Rows of `children` are padded by repeating the first real child, so the
+    first-occurrence tie-break of argmin always lands on a real node; a leaf's
+    row points to itself, so descent parks there and deeper levels are no-ops
+    (handles leaves above level L in pretrained DBoW2 trees).
+    """
+    N = descs.shape[0]
+    node = jnp.zeros((N,), jnp.int32)
+    mid = jnp.zeros((N,), jnp.int32)
+    mid_level = max(L // 2, 1)
+    for level in range(L):
+        cand = children[node]                       # (N, k)
+        cc = centers[cand]                          # (N, k, 8)
+        x = jnp.bitwise_xor(descs[:, None, :], cc)
+        d = jnp.sum(jax.lax.population_count(x), axis=-1)
+        node = cand[jnp.arange(N), jnp.argmin(d, axis=1)]
+        if level + 1 == mid_level:
+            mid = node
+    return word_of_node[node], mid
+
+
 def quantize(voc: Vocabulary, descs: jnp.ndarray, valid: jnp.ndarray):
     """(N, 8) descriptors → (word_ids (N,), mid_node (N,)); invalid slots −1."""
-    words, mid = _quantize(voc.centers, descs, voc.k, voc.L)
+    if voc.children is not None:
+        words, mid = _quantize_explicit(
+            voc.centers, voc.children, voc.word_of_node, descs, voc.k, voc.L
+        )
+    else:
+        words, mid = _quantize(voc.centers, descs, voc.k, voc.L)
     return (
         jnp.where(valid, words, -1),
         jnp.where(valid, mid, -1),
@@ -175,3 +211,139 @@ def l1_score(v1: jnp.ndarray, v2: jnp.ndarray) -> jnp.ndarray:
     """DBoW2 L1 similarity: 1 − ½|v1 − v2|₁ for L1-normalized inputs
     (TemplatedVocabulary::score, L1_NORM). Batched over leading dims of v2."""
     return 1.0 - 0.5 * jnp.sum(jnp.abs(v1 - v2), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary file I/O (ref main.cc:92-97 text-or-binary load,
+# tools/bin_vocabulary.cc text↔binary converter).
+# ---------------------------------------------------------------------------
+
+
+def load_dbow2_text(path: str) -> Vocabulary:
+    """Load a DBoW2 text vocabulary (the ORBvoc.txt format written by
+    TemplatedVocabulary::saveToTextFile).
+
+    Format: header line ``k L scoring weighting``; then one line per node in
+    creation order — ``parent_id is_leaf b0..b31 weight`` with the 32
+    descriptor bytes in decimal. Node ids are implicit (root = 0, first data
+    line = 1, ...); leaves get word ids in file order. The tree is generally
+    incomplete, so the result carries an explicit child table.
+    """
+    with open(path) as f:
+        header = f.readline().split()
+        k, L = int(header[0]), int(header[1])
+        parents, leaf_flags, descs, node_weights = [], [], [], []
+        for line in f:
+            parts = line.split()
+            if len(parts) < 35:
+                continue
+            parents.append(int(parts[0]))
+            leaf_flags.append(int(parts[1]) != 0)
+            descs.append([int(b) for b in parts[2:34]])
+            node_weights.append(float(parts[34]))
+    n = len(parents) + 1  # + root
+    centers = np.zeros((n, 32), np.uint8)
+    centers[1:] = np.asarray(descs, np.uint8)
+    centers = centers.view(np.uint32).reshape(n, 8)
+
+    children = np.full((n, k), -1, np.int64)
+    n_children = np.zeros(n, np.int64)
+    for i, p in enumerate(parents):
+        node = i + 1
+        if n_children[p] < k:
+            children[p, n_children[p]] = node
+            n_children[p] += 1
+    # word ids in file order of leaves (ref createWords()).
+    word_of_node = np.full(n, -1, np.int64)
+    word_weights = []
+    for i, is_leaf in enumerate(leaf_flags):
+        if is_leaf:
+            word_of_node[i + 1] = len(word_weights)
+            word_weights.append(node_weights[i])
+    # pad child rows: copies of the first child (argmin tie-break → real
+    # node); leaves and childless nodes point to themselves (descent parks).
+    for node in range(n):
+        if n_children[node] == 0:
+            children[node] = node
+        else:
+            children[node, n_children[node]:] = children[node, 0]
+    return Vocabulary(
+        centers=jnp.asarray(centers),
+        weights=jnp.asarray(np.asarray(word_weights, np.float32)),
+        k=k,
+        L=L,
+        children=jnp.asarray(children.astype(np.int32)),
+        word_of_node=jnp.asarray(word_of_node.astype(np.int32)),
+    )
+
+
+def save_dbow2_text(path: str, voc: Vocabulary) -> None:
+    """Write the DBoW2 text format (inverse of load_dbow2_text); works for
+    both explicit-tree and implicit complete-tree vocabularies."""
+    centers = np.asarray(voc.centers).view(np.uint8).reshape(-1, 32)
+    n = len(centers)
+    if voc.children is not None:
+        children = np.asarray(voc.children)
+        word_of_node = np.asarray(voc.word_of_node)
+        parents = np.zeros(n, np.int64)
+        is_leaf = word_of_node >= 0
+        for node in range(n):
+            for c in children[node]:
+                if c != node and parents[c] == 0 and c != 0:
+                    parents[c] = node
+        word_w = np.asarray(voc.weights)
+        node_weight = np.zeros(n, np.float64)
+        node_weight[is_leaf] = word_w[word_of_node[is_leaf]]
+    else:
+        k, L = voc.k, voc.L
+        parents = (np.arange(n) - 1) // k
+        parents[0] = 0
+        first_leaf = voc.first_leaf()
+        is_leaf = np.arange(n) >= first_leaf
+        node_weight = np.zeros(n, np.float64)
+        node_weight[first_leaf:] = np.asarray(voc.weights, np.float64)
+    with open(path, "w") as f:
+        f.write(f"{voc.k} {voc.L} 0 0\n")
+        for node in range(1, n):
+            bytes_s = " ".join(str(b) for b in centers[node])
+            f.write(
+                f"{parents[node]} {1 if is_leaf[node] else 0} "
+                f"{bytes_s} {node_weight[node]:.6f}\n"
+            )
+
+
+def save_binary(path: str, voc: Vocabulary) -> None:
+    """Compact binary vocabulary (npz) — the rebuild's equivalent of the
+    reference's binary vocabulary format (tools/bin_vocabulary.cc:12-47):
+    loads ~100× faster than the text form for large trees."""
+    arrays = {
+        "centers": np.asarray(voc.centers),
+        "weights": np.asarray(voc.weights),
+        "kL": np.asarray([voc.k, voc.L]),
+    }
+    if voc.children is not None:
+        arrays["children"] = np.asarray(voc.children)
+        arrays["word_of_node"] = np.asarray(voc.word_of_node)
+    np.savez_compressed(path, **arrays)
+
+
+def load_binary(path: str) -> Vocabulary:
+    z = np.load(path)
+    k, L = (int(x) for x in z["kL"])
+    return Vocabulary(
+        centers=jnp.asarray(z["centers"]),
+        weights=jnp.asarray(z["weights"]),
+        k=k,
+        L=L,
+        children=jnp.asarray(z["children"]) if "children" in z.files else None,
+        word_of_node=(
+            jnp.asarray(z["word_of_node"]) if "word_of_node" in z.files else None
+        ),
+    )
+
+
+def load_vocabulary(path: str) -> Vocabulary:
+    """Auto-detecting loader (ref main.cc:92-97: '.txt' → text, else binary)."""
+    if path.endswith(".txt"):
+        return load_dbow2_text(path)
+    return load_binary(path)

@@ -24,6 +24,9 @@ def main(argv=None):
     ap.add_argument("--seq", help="dataset sequence directory (EuRoC/TUM/NUIM)")
     ap.add_argument("--synthetic", type=int, default=0, help="run N synthetic frames instead")
     ap.add_argument("--settings", help="OpenCV-style yaml settings file")
+    ap.add_argument("--vocabulary",
+                    help="pretrained BoW vocabulary (.txt DBoW2 text or .npz "
+                         "binary); default: train on-the-fly from early keyframes")
     ap.add_argument("--gf-budget", type=int, default=0,
                     help="good-feature budget (0 = GF off, plain ORB-SLAM path)")
     ap.add_argument("--n-features", type=int, default=0, help="override ORB feature count")
@@ -62,6 +65,10 @@ def main(argv=None):
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     system = SlamSystem(cam, cfg)
+    if args.vocabulary:
+        from gf_orb_slam_tpu.retrieval import vocabulary as voc_mod
+
+        system.set_vocabulary(voc_mod.load_vocabulary(args.vocabulary))
 
     gt_positions = None
     if args.synthetic:
