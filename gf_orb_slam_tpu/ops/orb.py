@@ -126,14 +126,27 @@ def moment_maps(img: jnp.ndarray) -> jnp.ndarray:
     return out[0]  # (2, H, W)
 
 
+_MOMENT_FLAT = _moment_masks().reshape(2, -1).T  # (961, 2) numpy, closed over jit
+
+
 def ic_angles(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-    """Keypoint orientations in radians [0, 2π) (ref IC_Angle cc:131-160)."""
-    m = moment_maps(img)
-    xi = jnp.clip(xy[..., 0].astype(jnp.int32), 0, img.shape[1] - 1)
-    yi = jnp.clip(xy[..., 1].astype(jnp.int32), 0, img.shape[0] - 1)
-    m10 = m[0, yi, xi]
-    m01 = m[1, yi, xi]
-    ang = jnp.arctan2(m01, m10)
+    """Keypoint orientations in radians [0, 2π) (ref IC_Angle cc:131-160).
+
+    Dense 31×31 moment convs cost ~55 ms/frame on a v5e (1-input-channel convs
+    tile terribly onto the MXU); moments are only needed AT the keypoints, so
+    gather the N 31×31 patches (one flat gather) and reduce against the two
+    disc masks with a single (N, 961) @ (961, 2) matmul instead.
+    """
+    h, w = img.shape
+    r = HALF_PATCH
+    xi = jnp.clip(xy[..., 0].astype(jnp.int32), r, w - 1 - r)
+    yi = jnp.clip(xy[..., 1].astype(jnp.int32), r, h - 1 - r)
+    dy, dx = np.mgrid[-r : r + 1, -r : r + 1]
+    offs = jnp.asarray((dy * w + dx).reshape(-1), jnp.int32)      # (961,)
+    idx = (yi * w + xi)[:, None] + offs[None, :]                  # (N, 961)
+    patches = jnp.take(img.reshape(-1), idx, axis=0)              # (N, 961)
+    m = patches @ jnp.asarray(_MOMENT_FLAT)                       # (N, 2)=[m10,m01]
+    ang = jnp.arctan2(m[:, 1], m[:, 0])
     return jnp.where(ang < 0, ang + 2.0 * jnp.pi, ang)
 
 
