@@ -35,6 +35,7 @@ class InsertResult(NamedTuple):
     jax.jit,
     static_argnames=(
         "cam", "scale", "n_levels", "ba_window", "ba_fixed", "n_tri_neighbors",
+        "ba_points",
     ),
     donate_argnums=(1,),
 )
@@ -55,6 +56,7 @@ def insert_keyframe_fused(
     ba_window: int = 8,
     ba_fixed: int = 2,
     n_tri_neighbors: int = 2,
+    ba_points: int = 4096,
 ) -> InsertResult:
     """Insert + run the whole local-mapping pipeline. kp_* arrays must already
     be padded to the map's keypoint capacity."""
@@ -105,22 +107,45 @@ def insert_keyframe_fused(
     rank = jnp.cumsum(active.astype(jnp.int32)) - 1  # position among active
     fixed = (~active) | (rank < jnp.minimum(ba_fixed, jnp.maximum(n_active - 1, 1)))
 
+    # Compact the BA to a ba_points-slot local-point view: the per-point Schur
+    # tensors (L, C, 6, 3) dominate the insertion program's HBM traffic, and
+    # padding them to the full 16k-point capacity cost ~4× the necessary
+    # bandwidth. top_k over the mask gathers the set-bit indices (stable —
+    # ties broken by lower index); points beyond the cap simply sit this BA
+    # out (static compute budget, like every other cap here).
+    P = m.pt_capacity
+    L = ba_points
+    local_idx = jax.lax.top_k(local_pts.astype(jnp.int32), L)[1].astype(jnp.int32)
+    l_valid = local_pts[local_idx]
+    inv = jnp.full((P,), L, jnp.int32).at[local_idx].set(
+        jnp.arange(L, dtype=jnp.int32)
+    )
+    obs_lidx = inv[jnp.maximum(obs_local, 0)]
+    in_ba = (obs_local >= 0) & (obs_lidx < L)
+    obs_l = jnp.where(in_ba, obs_lidx, ms.NO_POINT)
+
     prob = local_ba.BAProblem(
         poses=m.kf_pose[win_ids],
-        points=m.pt_pos,
+        points=m.pt_pos[local_idx],
         fixed=fixed,
-        point_valid=local_pts,
+        point_valid=l_valid,
         obs_uv=m.kf_kp_uv[win_ids],
-        obs_point=obs_local,
-        obs_w=jnp.where(obs_local >= 0, 1.0 / sigma2, 0.0),
+        obs_point=obs_l,
+        obs_w=jnp.where(obs_l >= 0, 1.0 / sigma2, 0.0),
     )
     res = local_ba.bundle_adjust(cam, prob, iters_stage1=5, iters_stage2=10)
     safe_ids = jnp.where(active, win_ids, m.kf_capacity)
+    # Observations outside the compacted BA keep their status; only
+    # BA-classified outliers are dropped.
+    keep_obs = jnp.where(in_ba, res.obs_active, obs_local >= 0)
+    new_pt_pos = m.pt_pos.at[jnp.where(l_valid, local_idx, P)].set(
+        res.points, mode="drop"
+    )
     m = m._replace(
         kf_pose=m.kf_pose.at[safe_ids].set(res.poses, mode="drop"),
-        pt_pos=jnp.where(local_pts[:, None], res.points, m.pt_pos),
+        pt_pos=new_pt_pos,
         kf_obs_point=m.kf_obs_point.at[safe_ids].set(
-            jnp.where(res.obs_active, obs_local, ms.NO_POINT), mode="drop"
+            jnp.where(keep_obs, obs_local, ms.NO_POINT), mode="drop"
         ),
     )
     m = ms.refresh_point_stats(m, scale=scale, n_levels=n_levels)

@@ -57,6 +57,7 @@ class SlamConfig:
     max_frames_between_kf: int = 12  # ref mMaxFrames = 18*fps/30, scaled down
     ba_window: int = 8              # local BA camera window
     ba_fixed: int = 2               # fixed boundary cameras in the window
+    ba_points: int = 4096           # compacted local-point capacity for BA
     min_init_matches: int = 80
     triangulate_neighbors: int = 2
     # place recognition / loop closing
@@ -125,6 +126,7 @@ class SlamSystem:
         self.n_loops_closed = 0
         self.lost_frames = 0
         self._inflight = []  # deque of dispatched-but-unfinalized frames
+        self._pending_kf = []  # deferred keyframe-insertion finalizations
         self.track_view = tv.empty_view(self.cfg.view_size, self.cfg.max_points)
         from gf_orb_slam_tpu.io_utils.timing import TimeLog
 
@@ -306,6 +308,9 @@ class SlamSystem:
             except AttributeError:
                 break
         self._inflight.append((res, frame_now, timestamp, self.frame_id, log))
+        # Deferred keyframe-insertion bookkeeping first: its async copies have
+        # had a full frame to cross the link, so this is normally free.
+        self._finalize_insertions()
         depth = cfg.pipeline_depth if cfg.pipelined else 1
         while len(self._inflight) >= depth or (not cfg.pipelined and self._inflight):
             entry = self._inflight.pop(0)
@@ -335,21 +340,24 @@ class SlamSystem:
             self.set_vocabulary(self._preset_voc)
         self.lost_frames = 0
         self._inflight = []
+        self._pending_kf = []
         self.track_view = tv.empty_view(self.cfg.view_size, self.cfg.max_points)
 
     def flush(self):
-        """Finalize all in-flight frames (pipelined mode); call at sequence
-        end before reading the trajectory."""
+        """Finalize all in-flight frames (pipelined mode) and deferred
+        keyframe insertions; call at sequence end before reading results."""
         while self._inflight:
             entry = self._inflight.pop(0)
             if not self._finalize_tracked(*entry):
                 break
+        self._finalize_insertions()
 
     def _finalize_tracked(self, res, frame_now, timestamp, frame_id, log):
         cfg = self.cfg
         ok_np, n_inl_np, pose_np = jax.device_get((res.ok, res.n_inliers, res.pose))
         if not bool(ok_np):
             self._inflight = []  # anything dispatched after the failure is garbage
+            self._finalize_insertions()  # keep BoW/loop state consistent
             if self.n_kf <= 5:
                 # ref: reset the whole map when lost early (Tracking.cc:719-726).
                 self.reset()
@@ -385,6 +393,7 @@ class SlamSystem:
         """ref Tracking::Relocalisation (cc:3854-4032): BoW candidates → BoW-
         gated matching of candidate keyframes' map points → PnP RANSAC →
         local-map densification."""
+        self._finalize_insertions()
         self.lost_frames += 1
         if not (
             self.cfg.enable_relocalization
@@ -468,15 +477,16 @@ class SlamSystem:
             )
 
     # ------------------------------------------------------------------
-    def _try_close_loop(self, kf_int: int):
-        """DetectLoop + ComputeSim3 + CorrectLoop for the new keyframe."""
+    def _try_close_loop(self, kf_int: int, pending: dict):
+        """DetectLoop + ComputeSim3 + CorrectLoop for the (just-finalized)
+        keyframe; candidates/covisibility were dispatched at insertion time."""
         m = self.map
-        covis = ms.covisibility(m)
-        cand, ok = kdb.detect_loop_candidates(
-            self.bow_db, covis, jnp.asarray(kf_int), max_candidates=6
+        covis = pending["covis"]
+        # One combined fetch (candidates + covisibility) — one tunnel RTT,
+        # normally already resident via copy_to_host_async.
+        cand_np, ok_np, covis_np = jax.device_get(
+            (pending["cand"], pending["ok"], covis)
         )
-        # One combined fetch (candidates + covisibility) — one tunnel RTT.
-        cand_np, ok_np, covis_np = jax.device_get((cand, ok, covis))
         # Exclude recent keyframes (temporal gap).
         ok_np = ok_np & (cand_np < kf_int - self.cfg.loop_min_kf_gap)
 
@@ -507,8 +517,13 @@ class SlamSystem:
         """ref CreateNewKeyFrame + the LocalMapping::Run pipeline, fused into
         ONE device program (pipeline/local_mapping.py) — a single dispatch
         covers triangulation, culling, stat refresh, descriptors, windowed
-        Schur BA, and keyframe culling. Host keeps only BoW registration and
-        loop detection."""
+        Schur BA, and keyframe culling.
+
+        Everything here is dispatch-only: the insertion scalars and loop
+        candidates are async-copied and consumed one frame later
+        (_finalize_insertions) — the TPU analogue of the reference's
+        LocalMapping/LoopClosing threads lagging Tracking. The tunnel RTT
+        of both fetches then overlaps the next frames' dispatches."""
         cfg = self.cfg
         from gf_orb_slam_tpu.pipeline import local_mapping
 
@@ -533,35 +548,56 @@ class SlamSystem:
             scale=cfg.scale, n_levels=cfg.n_levels,
             ba_window=cfg.ba_window, ba_fixed=cfg.ba_fixed,
             n_tri_neighbors=cfg.triangulate_neighbors,
+            ba_points=cfg.ba_points,
         )
         self.map = res.m
-        # One combined fetch for all insertion scalars (each separate fetch
-        # costs a full tunnel RTT).
-        kf_np, culled_np, ref_np = jax.device_get(
-            (res.kf_id, res.culled_kf, jnp.sum((track_res.obs_point >= 0).astype(jnp.int32)))
-        )
-        kf_int = int(kf_np)
-        culled = int(culled_np)
         self.n_kf += 1
         self.last_kf_frame = frame_id
-        self.n_ref_tracked = int(ref_np)
-        if culled >= 0 and self.bow_db is not None:
-            self.bow_db = kdb.erase_keyframe(self.bow_db, jnp.asarray(culled))
 
         # Refresh the compact tracking view around the new keyframe.
         self.track_view = tv.compute_track_view(
             self.map, res.kf_id, view_size=cfg.view_size
         )
 
-        # --- place recognition: vocabulary, BoW registration, loop closing ---
+        # --- place recognition: vocabulary, BoW registration, loop dispatch ---
         self._maybe_train_vocabulary()
+        pending = {
+            "kf_id": res.kf_id,
+            "culled": res.culled_kf,
+            "ref": jnp.sum((track_res.obs_point >= 0).astype(jnp.int32)),
+        }
         if self.voc is not None:
             self.bow_db = kdb.add_keyframe(
                 self.bow_db, self.voc, res.kf_id,
-                self.map.kf_kp_desc[kf_int], self.map.kf_kp_valid[kf_int],
+                self.map.kf_kp_desc[res.kf_id], self.map.kf_kp_valid[res.kf_id],
             )
             if cfg.enable_loop_closing and self.n_kf > cfg.loop_min_kf_gap:
-                self._try_close_loop(kf_int)
+                covis = ms.covisibility(self.map)
+                cand, ok = kdb.detect_loop_candidates(
+                    self.bow_db, covis, res.kf_id, max_candidates=6
+                )
+                pending.update(covis=covis, cand=cand, ok=ok)
+        for a in pending.values():
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                break
+        self._pending_kf.append(pending)
+
+    def _finalize_insertions(self):
+        """Consume deferred keyframe-insertion results: scalar bookkeeping,
+        BoW tombstoning of culled keyframes, and the loop-closing check."""
+        while self._pending_kf:
+            p = self._pending_kf.pop(0)
+            kf_np, culled_np, ref_np = jax.device_get(
+                (p["kf_id"], p["culled"], p["ref"])
+            )
+            self.n_ref_tracked = int(ref_np)
+            culled = int(culled_np)
+            if culled >= 0 and self.bow_db is not None:
+                self.bow_db = kdb.erase_keyframe(self.bow_db, jnp.asarray(culled))
+            if "cand" in p:
+                self._try_close_loop(int(kf_np), p)
 
     # ------------------------------------------------------------------
     def _run_local_ba(self, m, kf_ids, fixed_ids, iters=(5, 10), row_active=None):

@@ -99,16 +99,31 @@ def _lm_step(cam: CameraModel, prob: BAProblem, active, lam):
     U = jnp.einsum("cnri,cn,cnrj->cij", Jpose, w, Jpose)
     g_c = jnp.einsum("cnri,cn,cnr->ci", Jpose, w, r)
 
-    # Point blocks V (P,3,3), gradient g_p (P,3) via scatter-add over lp.
+    # Per-edge point-block terms, reduced onto points below via incidence
+    # matmuls (TPU scatter-add serializes; a one-hot matmul rides the MXU).
     Vscat = jnp.einsum("cnri,cn,cnrj->cnij", Jpt, w, Jpt)
     gp_scat = jnp.einsum("cnri,cn,cnr->cni", Jpt, w, r)
-    drop = jnp.where(ok, lp, P)
-    V = jnp.zeros((P, 3, 3)).at[drop.reshape(-1)].add(
-        Vscat.reshape(-1, 3, 3), mode="drop"
-    )
-    g_p = jnp.zeros((P, 3)).at[drop.reshape(-1)].add(
-        gp_scat.reshape(-1, 3), mode="drop"
-    )
+
+    # Per-edge W blocks (C,N,6,3); fixed cameras contribute no pose rows.
+    W_edge = jnp.einsum("cnri,cn,cnrj->cnij", Jpose, w, Jpt)
+    W_edge = jnp.where(prob.fixed[:, None, None, None], 0.0, W_edge)
+
+    # One per-camera incidence matmul reduces V, g_p and T at once:
+    # onehot_c (N, P) one-hot of each edge's point id; payload (N, 30) packs
+    # [Vscat (9) | g_p (3) | W_edge (18)].
+    payload = jnp.concatenate(
+        [Vscat.reshape(C, N, 9), gp_scat, W_edge.reshape(C, N, 18)], axis=-1
+    )  # (C, N, 30)
+    pt_iota = jax.lax.broadcasted_iota(jnp.int32, (N, P), 1)
+
+    def reduce_cam(c):
+        onehot = ((lp[c][:, None] == pt_iota) & ok[c][:, None]).astype(payload.dtype)
+        return onehot.T @ payload[c]  # (P, 30)
+
+    M = jnp.stack([reduce_cam(c) for c in range(C)])  # (C, P, 30)
+    V = jnp.sum(M[:, :, :9], axis=0).reshape(P, 3, 3)
+    g_p = jnp.sum(M[:, :, 9:12], axis=0)
+    T = jnp.moveaxis(M[:, :, 12:30].reshape(C, P, 6, 3), 0, 1)  # (P, C, 6, 3)
 
     # Damping (Levenberg: scale diagonals).
     U_d = U + lam * jnp.eye(6)[None] * jnp.maximum(
@@ -120,15 +135,6 @@ def _lm_step(cam: CameraModel, prob: BAProblem, active, lam):
     V_d = V_d + 1e-8 * jnp.eye(3)[None]
     Vinv = linalg.inv3(V_d)
     Vinv = jnp.where(prob.point_valid[:, None, None], Vinv, 0.0)
-
-    # Per-edge W blocks (C,N,6,3), scattered into the dense (P,C,6,3) tensor.
-    W_edge = jnp.einsum("cnri,cn,cnrj->cnij", Jpose, w, Jpt)
-    # Fixed cameras contribute no pose rows:
-    W_edge = jnp.where(prob.fixed[:, None, None, None], 0.0, W_edge)
-    c_idx = jax.lax.broadcasted_iota(jnp.int32, (C, N), 0)
-    T = jnp.zeros((P, C, 6, 3)).at[drop.reshape(-1), c_idx.reshape(-1)].add(
-        W_edge.reshape(-1, 6, 3), mode="drop"
-    )
 
     # Schur complement S = U − Σ_p Y_p W_pᵀ with Y = T·V⁻¹.
     Y = jnp.einsum("pcij,pjk->pcik", T, Vinv)
