@@ -45,9 +45,13 @@ def main():
         SlamConfig(n_features=800, max_frames_between_kf=10, use_gf=False, pipelined=True, pipeline_depth=2),
     )
 
-    # Warmup: initialization + first compiles.
+    # Warmup: initialization + first compiles, including the loop-detection
+    # program that otherwise first compiles mid-sequence (once n_kf crosses
+    # loop_min_kf_gap) and would bill ~seconds of XLA compile to one frame.
     for i in range(warmup_frames):
         system.process(frames[i], float(ts[i]))
+    system.flush()
+    system.warmup_compile()
 
     n_tracked = 0
     t0 = time.perf_counter()

@@ -274,9 +274,10 @@ def replace_point(m: MapState, old_id: jnp.ndarray, new_id: jnp.ndarray) -> MapS
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("scale", "n_levels"))
+@partial(jax.jit, static_argnames=("scale", "n_levels", "update_desc"))
 def refresh_point_stats(
-    m: MapState, scale: float = 1.2, n_levels: int = 8
+    m: MapState, scale: float = 1.2, n_levels: int = 8,
+    update_desc: bool = True,
 ) -> MapState:
     """Recompute normals, scale-invariance ranges, and distinctive descriptors
     for all valid points from the current observation structure — one batched
@@ -324,11 +325,12 @@ def refresh_point_stats(
     # Approximation: keep the current descriptor unless the point has ≥2 obs,
     # in which case use the first observing KF's descriptor slot. A full
     # min-sum pass runs in local mapping (keyframe_ops.distinctive_descriptors).
-    desc_ref = m.kf_kp_desc[first_kf, obs_slot]
-
-    return m._replace(
+    m = m._replace(
         pt_normal=jnp.where(has_obs[:, None], normals, m.pt_normal),
         pt_min_dist=jnp.where(has_obs, min_dist, m.pt_min_dist),
         pt_max_dist=jnp.where(has_obs, max_dist, m.pt_max_dist),
-        pt_desc=jnp.where(has_obs[:, None], desc_ref, m.pt_desc),
     )
+    if update_desc:
+        desc_ref = m.kf_kp_desc[first_kf, obs_slot]
+        m = m._replace(pt_desc=jnp.where(has_obs[:, None], desc_ref, m.pt_desc))
+    return m

@@ -82,8 +82,6 @@ def insert_keyframe_fused(
         )
 
     m = keyframe_ops.cull_points(m, kf_id)
-    m = ms.refresh_point_stats(m, scale=scale, n_levels=n_levels)
-    m = keyframe_ops.distinctive_descriptors(m)
 
     # --- local BA over the top covisibility window (fixed shapes) ---
     W2 = ms.covisibility(m)
@@ -148,7 +146,40 @@ def insert_keyframe_fused(
             jnp.where(keep_obs, obs_local, ms.NO_POINT), mode="drop"
         ),
     )
-    m = ms.refresh_point_stats(m, scale=scale, n_levels=n_levels)
+
+    # --- distinctive descriptors, window-local (ref MapPoint::
+    # ComputeDistinctiveDescriptors via LocalMapping::ProcessNewKeyFrame,
+    # cc:163-211, which recomputes only points touched by the new keyframe).
+    # The full-map variant (keyframe_ops.distinctive_descriptors) needs 8
+    # serial scatter-min passes over (K·N) (~40 ms); here the BA window's
+    # observation table is already compact, so one scatter into an
+    # (L, C, 8) table + a medoid popcount suffices. Window observations
+    # dominate each local point's lifetime, so the medoid matches the
+    # reference's all-observations median closely.
+    C = ba_window
+    desc_w = m.kf_kp_desc[win_ids]                       # (C, N, 8)
+    obs_keep = jnp.where(keep_obs, obs_l, ms.NO_POINT)   # post-BA inlier obs
+    slot = jnp.where(obs_keep >= 0, obs_keep, L)         # (C, N) local ids
+    c_idx = jax.lax.broadcasted_iota(jnp.int32, slot.shape, 0)
+    Dw = jnp.zeros((L + 1, C, 8), jnp.uint32).at[slot, c_idx].set(
+        desc_w, mode="drop"
+    )
+    Hw = jnp.zeros((L + 1, C), bool).at[slot, c_idx].set(True, mode="drop")
+    x = jnp.bitwise_xor(Dw[:, :, None, :], Dw[:, None, :, :])
+    dmat = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+    dmat = jnp.where(Hw[:, :, None] & Hw[:, None, :], dmat, 0)
+    sums = jnp.where(Hw, jnp.sum(dmat, axis=2), jnp.int32(1 << 30))
+    best = jnp.argmin(sums, axis=1)
+    new_desc = jnp.take_along_axis(Dw, best[:, None, None], axis=1)[:, 0]  # (L+1, 8)
+    upd = Hw.any(axis=1)[:L] & l_valid
+    m = m._replace(
+        pt_desc=m.pt_desc.at[jnp.where(upd, local_idx, P)].set(
+            new_desc[:L], mode="drop"
+        )
+    )
+    # update_desc=False: the medoid above is strictly better than the
+    # refresh's first-KF fallback and must not be clobbered.
+    m = ms.refresh_point_stats(m, scale=scale, n_levels=n_levels, update_desc=False)
 
     # --- keyframe culling: one most-redundant candidate per insertion ---
     red = keyframe_ops.keyframe_redundancy(m)

@@ -51,7 +51,7 @@ class SlamConfig:
     max_points: int = 16384
     use_motion_model: bool = True
     use_gf: bool = False            # Good-Feature selection in local-map tracking
-    gf_mode: str = "subset"         # "subset" (select-then-match-all) | "active"
+    gf_mode: str = "subset"         # "subset" | "active" | "random" | "longlive"
     gf_budget: int = 100
     gf_warmup_frames: int = 40      # ref: GF off for ~5s after init (Tracking.h:104)
     max_frames_between_kf: int = 12  # ref mMaxFrames = 18*fps/30, scaled down
@@ -342,6 +342,21 @@ class SlamSystem:
         self._inflight = []
         self._pending_kf = []
         self.track_view = tv.empty_view(self.cfg.view_size, self.cfg.max_points)
+
+    def warmup_compile(self):
+        """Pre-trace cold-path device programs whose first invocation would
+        otherwise stall a tracked frame mid-sequence (XLA compiles at first
+        call): loop-candidate detection fires only once n_kf exceeds
+        loop_min_kf_gap, which can be minutes into a run. Call after the map
+        has a few keyframes (vocabulary trained). Results are discarded."""
+        if self.bow_db is None or self.voc is None or self.n_kf == 0:
+            return
+        covis = ms.covisibility(self.map)
+        cand, ok = kdb.detect_loop_candidates(
+            self.bow_db, covis, jnp.asarray(max(self.n_kf - 1, 0)),
+            max_candidates=6,
+        )
+        jax.block_until_ready((cand, ok))
 
     def flush(self):
         """Finalize all in-flight frames (pipelined mode) and deferred

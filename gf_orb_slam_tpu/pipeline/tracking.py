@@ -181,21 +181,35 @@ def track_local_map(
     in_range = (dist >= view.min_dist) & (dist <= view.max_dist)
     visible = search_v & front & in_img & in_range & (cos_view > 0.5)
 
-    # --- optional Good-Feature selection over the visible candidates ---
-    if use_gf:
+    # --- optional budgeted selection over the visible candidates ---
+    # gf_mode: "subset"   Max-logDet lazier-greedy, then match the subset
+    #          "active"   select-then-match by marginal logDet gain
+    #          "random"   budget-size random subset (ref runBaselineMapMatching
+    #                     RANDOM_MAP_MATCHING baseline, Observability.cc:1819)
+    #          "longlive" budget oldest-first by first observing keyframe (ref
+    #                     LONGLIVE_MAP_MATCHING baseline)
+    if use_gf and gf_mode in ("subset", "active"):
         jac = observability.measurement_jacobians(cam, Xv, pos_v)
         blocks = observability.info_matrices(
             observability.whiten(jac.H, jnp.ones((V,))), jac.visible & valid_v
         )
-        if gf_mode == "subset":
-            sel = selection.lazier_greedy_maxlogdet(
-                blocks, visible & jac.visible, k=gf_budget, key=gf_key
-            )
-            match_v = sel.selected
-            gf_sel_v = sel.selected
+    if use_gf and gf_mode == "subset":
+        sel = selection.lazier_greedy_maxlogdet(
+            blocks, visible & jac.visible, k=gf_budget, key=gf_key
+        )
+        match_v = sel.selected
+        gf_sel_v = sel.selected
+    elif use_gf and gf_mode in ("random", "longlive"):
+        if gf_mode == "random":
+            pri = jax.random.uniform(gf_key, (V,))
         else:
-            match_v = visible
-            gf_sel_v = jnp.zeros((V,), bool)
+            # Older points first (smaller first_kf); ids break ties.
+            age = m.pt_first_kf[safe_ids].astype(jnp.float32)
+            pri = -(age + safe_ids.astype(jnp.float32) / jnp.float32(P))
+        pri = jnp.where(visible, pri, -jnp.inf)
+        kth = jax.lax.top_k(pri, min(gf_budget, V))[0][-1]
+        match_v = visible & (pri >= kth) & jnp.isfinite(pri)
+        gf_sel_v = match_v
     else:
         match_v = visible
         gf_sel_v = jnp.zeros((V,), bool)

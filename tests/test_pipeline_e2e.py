@@ -79,6 +79,22 @@ class TestEndToEnd:
         assert rmse is not None, "tracking failed with GF"
         assert rmse < 0.08, f"GF ATE {rmse*100:.1f} cm too high"
 
+    def test_vo_baseline_matching_modes(self):
+        """The reference's ablation baselines (RANDOM / LONGLIVE budgeted
+        matching, Observability::runBaselineMapMatching cc:1819) track the
+        synthetic sequence at the same budget."""
+        for mode in ("random", "longlive"):
+            system, rmse = run_sequence(
+                SlamConfig(
+                    n_features=600, max_frames_between_kf=8,
+                    use_gf=True, gf_budget=100, gf_warmup_frames=10,
+                    gf_mode=mode,
+                ),
+                n_frames=25,
+            )
+            assert rmse is not None, f"tracking failed with gf_mode={mode}"
+            assert rmse < 0.12, f"{mode} ATE {rmse*100:.1f} cm too high"
+
 
 class TestEvaluation:
     def test_umeyama_recovers_similarity(self, rng):
