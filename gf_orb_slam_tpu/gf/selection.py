@@ -73,28 +73,37 @@ def greedy_maxlogdet(
     )
 
 
-@partial(jax.jit, static_argnames=("k", "sample_scale"))
+@partial(jax.jit, static_argnames=("k", "sample_scale", "batch"))
 def lazier_greedy_maxlogdet(
     blocks: jnp.ndarray,
     valid: jnp.ndarray,
     k: int,
     key: jnp.ndarray,
     sample_scale: float = 2.3,
+    batch: int = 1,
 ) -> SelectionResult:
     """Lazier-than-lazy greedy (Mirzasoleiman et al.): per round, evaluate a
     random subset of ≈ (N/K)·sample_scale unselected candidates.
 
     sample_scale defaults to ln(1/ε) with the reference's ε≈0.1
     (Observability.cc:2853 szLazierSubset formula).
+
+    batch > 1 commits the top-`batch` candidates by marginal gain each round
+    (k/batch rounds total). The scan's sequential latency — not the per-round
+    math — dominates on TPU (~80 µs/round through the pipeline), so batching
+    rounds is the lever; the quality cost of ignoring within-batch info
+    overlap is bounded and regression-tested against exact greedy.
     """
     N, D, _ = blocks.shape
-    S = max(min(int(round(N / max(k, 1) * sample_scale)), N), 1)
+    B = max(1, min(batch, k))
+    rounds = -(-k // B)
+    S = max(min(int(round(N / max(k, 1) * sample_scale * B)), N), B)
     cur0 = PRIOR_EPS * jnp.eye(D, dtype=blocks.dtype)
     sel0 = jnp.zeros(N, bool)
-    keys = jax.random.split(key, k)
+    keys = jax.random.split(key, rounds)
 
     def round_fn(carry, rkey):
-        cur, selected = carry
+        cur, selected, n_sel = carry
         # Random-S subset of unselected valid candidates via Gumbel top-S.
         g = jax.random.gumbel(rkey, (N,))
         g = jnp.where(valid & ~selected, g, -jnp.inf)
@@ -102,14 +111,22 @@ def lazier_greedy_maxlogdet(
         sub_ok = jnp.isfinite(g[sub_idx])
         lds = linalg.logdet_psd(cur[None, :, :] + blocks[sub_idx])
         lds = jnp.where(sub_ok, lds, -jnp.inf)
-        j = jnp.argmax(lds)
-        best = sub_idx[j]
-        found = jnp.isfinite(lds[j])
-        cur = jnp.where(found, cur + blocks[best], cur)
-        selected = selected.at[best].set(found | selected[best])
-        return (cur, selected), None
+        top_lds, jj = jax.lax.top_k(lds, B)                   # (B,)
+        picks = sub_idx[jj]
+        # Gain-ranked picks; stop exactly at k even when B ∤ k.
+        take = jnp.isfinite(top_lds) & (
+            n_sel + jnp.arange(B, dtype=jnp.int32) < k
+        )
+        cur = cur + jnp.sum(
+            jnp.where(take[:, None, None], blocks[picks], 0.0), axis=0
+        )
+        selected = selected.at[jnp.where(take, picks, N)].set(True, mode="drop")
+        n_sel = n_sel + jnp.sum(take.astype(jnp.int32))
+        return (cur, selected, n_sel), None
 
-    (cur, selected), _ = jax.lax.scan(round_fn, (cur0, sel0), keys)
+    (cur, selected, _), _ = jax.lax.scan(
+        round_fn, (cur0, sel0, jnp.int32(0)), keys
+    )
     return SelectionResult(
         selected=selected,
         info_total=cur,

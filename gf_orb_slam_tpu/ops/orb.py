@@ -189,6 +189,120 @@ def brief_descriptors(
     return words  # (N, 8)
 
 
+def ic_angles_flat(
+    flat: jnp.ndarray, xy: jnp.ndarray, base: jnp.ndarray,
+    wl: jnp.ndarray, hl: jnp.ndarray,
+) -> jnp.ndarray:
+    """ic_angles over a flattened multi-level pyramid: keypoints from ALL
+    levels in one (N, 961) gather + one matmul, instead of n_levels sequential
+    small gathers (which were latency-bound at ~6 ms/frame on a v5e).
+
+    flat: concatenated level images; base/wl/hl: per-keypoint level offset and
+    level dimensions (row stride = wl).
+    """
+    r = HALF_PATCH
+    xi = jnp.clip(xy[:, 0].astype(jnp.int32), r, wl - 1 - r)
+    yi = jnp.clip(xy[:, 1].astype(jnp.int32), r, hl - 1 - r)
+    dy, dx = np.mgrid[-r : r + 1, -r : r + 1]
+    dyv = jnp.asarray(dy.reshape(-1), jnp.int32)
+    dxv = jnp.asarray(dx.reshape(-1), jnp.int32)
+    center = base + yi * wl + xi
+    idx = center[:, None] + dyv[None, :] * wl[:, None] + dxv[None, :]  # (N, 961)
+    patches = jnp.take(flat, idx, axis=0)
+    m = patches @ jnp.asarray(_MOMENT_FLAT)
+    ang = jnp.arctan2(m[:, 1], m[:, 0])
+    return jnp.where(ang < 0, ang + 2.0 * jnp.pi, ang)
+
+
+_INT_SCALE = 8  # fixed-point scale for integral-image moments (1/8 intensity)
+
+
+def _disc_halfwidths() -> np.ndarray:
+    """(31,) per-row half-width of the radius-15 disc (ref u_max table,
+    ORBextractor.cc:66-76 — same circle, computed not tabulated)."""
+    dy = np.arange(-HALF_PATCH, HALF_PATCH + 1)
+    return np.floor(np.sqrt(float(HALF_PATCH * HALF_PATCH) - dy * dy + 1e-6)).astype(np.int32)
+
+
+def level_moment_integrals(lvl_img: jnp.ndarray):
+    """Row-prefix-sum images for IC moments, padded with a leading zero
+    column: S[y, x+1] = Σ_{x'≤x} round(8·I), Sx[y, x+1] = Σ (x'−c)·round(8·I).
+    int32 and exact, so the hi−lo differences below carry no cancellation
+    error (a float cumsum at image scale would lose ~0.4% to rounding)."""
+    h, w = lvl_img.shape
+    q = jnp.round(lvl_img * _INT_SCALE).astype(jnp.int32)
+    c = (w - 1) // 2
+    xw = (jnp.arange(w, dtype=jnp.int32) - c)[None, :]
+    S = jnp.pad(jnp.cumsum(q, axis=1), ((0, 0), (1, 0)))
+    Sx = jnp.pad(jnp.cumsum(q * xw, axis=1), ((0, 0), (1, 0)))
+    return S, Sx, c
+
+
+def ic_angles_rows(
+    flat_S: jnp.ndarray, flat_Sx: jnp.ndarray, xy: jnp.ndarray,
+    base: jnp.ndarray, wl: jnp.ndarray, hl: jnp.ndarray, xc: jnp.ndarray,
+) -> jnp.ndarray:
+    """IC angles from row integrals: per keypoint, each of the 31 disc rows
+    needs only (S, Sx) at the row's two ends — 124 gathered elements instead
+    of the 961-pixel patch (gathers on TPU are element-count bound at
+    ~8 ns/element, so this is the whole game).
+
+    flat_S/flat_Sx: concatenated per-level padded prefix sums (row stride
+    wl+1); base: per-keypoint offset of its level in the flat buffers;
+    xc: per-keypoint level center column used in the Sx weighting.
+    """
+    r = HALF_PATCH
+    u = jnp.asarray(_disc_halfwidths())                     # (31,)
+    dyv = jnp.arange(-r, r + 1, dtype=jnp.int32)            # (31,)
+    xi = jnp.clip(xy[:, 0].astype(jnp.int32), r, wl - 1 - r)
+    yi = jnp.clip(xy[:, 1].astype(jnp.int32), r, hl - 1 - r)
+    stride = wl + 1
+    row = base[:, None] + (yi[:, None] + dyv[None, :]) * stride[:, None]  # (N, 31)
+    hi = row + xi[:, None] + u[None, :] + 1
+    lo = row + xi[:, None] - u[None, :]
+    idx = jnp.concatenate([hi, lo], axis=1)                 # (N, 62)
+    S2 = jnp.take(flat_S, idx, axis=0)
+    Sx2 = jnp.take(flat_Sx, idx, axis=0)
+    m00r = S2[:, :31] - S2[:, 31:]                          # (N, 31)
+    mxr = Sx2[:, :31] - Sx2[:, 31:]
+    m10 = jnp.sum(mxr, axis=1) - (xi - xc) * jnp.sum(m00r, axis=1)
+    m01 = jnp.sum(dyv[None, :] * m00r, axis=1)
+    ang = jnp.arctan2(m01.astype(jnp.float32), m10.astype(jnp.float32))
+    return jnp.where(ang < 0, ang + 2.0 * jnp.pi, ang)
+
+
+def brief_descriptors_flat(
+    flat_blur: jnp.ndarray, xy: jnp.ndarray, angles: jnp.ndarray,
+    base: jnp.ndarray, wl: jnp.ndarray, hl: jnp.ndarray,
+) -> jnp.ndarray:
+    """brief_descriptors over a flattened pyramid — one (N, 512) gather for
+    all levels (see ic_angles_flat)."""
+    rot = jnp.asarray(_ROT_PATTERNS)  # (30, 256, 2, 2)
+    bins = jnp.clip(
+        jnp.round(angles * (N_ROT_BINS / (2.0 * jnp.pi))).astype(jnp.int32) % N_ROT_BINS,
+        0,
+        N_ROT_BINS - 1,
+    )
+    offs = rot[bins]  # (N, 256, 2, 2)
+    xi = jnp.clip(
+        xy[:, None, None, 0].astype(jnp.int32) + offs[..., 0],
+        0, (wl - 1)[:, None, None],
+    )
+    yi = jnp.clip(
+        xy[:, None, None, 1].astype(jnp.int32) + offs[..., 1],
+        0, (hl - 1)[:, None, None],
+    )
+    idx = base[:, None, None] + yi * wl[:, None, None] + xi
+    samples = jnp.take(flat_blur, idx, axis=0)  # (N, 256, 2)
+    bits = samples[..., 0] < samples[..., 1]
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(
+        bits.reshape(bits.shape[0], N_WORDS, 32).astype(jnp.uint32) << shifts[None, None, :],
+        axis=-1,
+        dtype=jnp.uint32,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Full extractor
 # ---------------------------------------------------------------------------
@@ -236,8 +350,17 @@ def extract_orb(img: jnp.ndarray, cfg: OrbConfig) -> Keypoints:
     quotas = pyr.features_per_level(cfg.n_features, cfg.n_levels, cfg.scale)
     sf = pyr.scale_factors(cfg.n_levels, cfg.scale)
 
-    parts = []
+    # Per-level FAST detection (shapes differ per level, so this stays a
+    # Python loop over static shapes), collecting level-coordinate keypoints
+    # plus static per-keypoint level metadata for the batched gathers below.
+    xs, resps, valids, octs, sfs = [], [], [], [], []
+    bases_np, wls_np, hls_np = [], [], []
+    ibases_np, xcs_np = [], []
+    offset = 0
+    ioffset = 0
+    used_levels = []
     for lv, (lvl_img, quota) in enumerate(zip(levels, quotas)):
+        h, w = lvl_img.shape
         if quota <= 0:
             continue
         xy, resp, valid = fast_ops.detect_keypoints(
@@ -247,34 +370,54 @@ def extract_orb(img: jnp.ndarray, cfg: OrbConfig) -> Keypoints:
             min_threshold=cfg.fast_min_threshold,
             grid=cfg.grid,
         )
-        h, w = lvl_img.shape
         inside = (
             (xy[:, 0] >= EDGE_MARGIN)
             & (xy[:, 0] < w - EDGE_MARGIN)
             & (xy[:, 1] >= EDGE_MARGIN)
             & (xy[:, 1] < h - EDGE_MARGIN)
         )
-        valid = valid & inside
-        ang = ic_angles(lvl_img, xy)
-        blurred = pyr.gaussian_blur(lvl_img)
-        desc = brief_descriptors(blurred, xy, ang)
-        uv0 = xy * sf[lv]
-        parts.append(
-            Keypoints(
-                uv=uv0,
-                response=resp,
-                octave=jnp.full((quota,), lv, jnp.int32),
-                angle=ang,
-                desc=desc,
-                valid=valid,
-            )
-        )
+        xs.append(xy)
+        resps.append(resp)
+        valids.append(valid & inside)
+        octs.append(np.full((quota,), lv, np.int32))
+        sfs.append(np.full((quota,), sf[lv], np.float32))
+        bases_np.append(np.full((quota,), offset, np.int32))
+        wls_np.append(np.full((quota,), w, np.int32))
+        hls_np.append(np.full((quota,), h, np.int32))
+        ibases_np.append(np.full((quota,), ioffset, np.int32))
+        xcs_np.append(np.full((quota,), (w - 1) // 2, np.int32))
+        used_levels.append(lv)
+        offset += h * w
+        ioffset += h * (w + 1)
+
+    # Flattened pyramids: row-integral buffers for orientation moments (124
+    # gathered elements per keypoint — see ic_angles_rows) and a blurred
+    # buffer for descriptor sampling, each gathered ONCE for all levels.
+    S_parts, Sx_parts = [], []
+    for lv in used_levels:
+        S, Sx, _ = level_moment_integrals(levels[lv])
+        S_parts.append(S.reshape(-1))
+        Sx_parts.append(Sx.reshape(-1))
+    flat_S = jnp.concatenate(S_parts)
+    flat_Sx = jnp.concatenate(Sx_parts)
+    flat_blur = jnp.concatenate(
+        [pyr.gaussian_blur(levels[lv]).reshape(-1) for lv in used_levels]
+    )
+    xy_all = jnp.concatenate(xs)
+    base = jnp.asarray(np.concatenate(bases_np))
+    wl = jnp.asarray(np.concatenate(wls_np))
+    hl = jnp.asarray(np.concatenate(hls_np))
+    ibase = jnp.asarray(np.concatenate(ibases_np))
+    xc = jnp.asarray(np.concatenate(xcs_np))
+
+    ang = ic_angles_rows(flat_S, flat_Sx, xy_all, ibase, wl, hl, xc)
+    desc = brief_descriptors_flat(flat_blur, xy_all, ang, base, wl, hl)
 
     return Keypoints(
-        uv=jnp.concatenate([p.uv for p in parts]),
-        response=jnp.concatenate([p.response for p in parts]),
-        octave=jnp.concatenate([p.octave for p in parts]),
-        angle=jnp.concatenate([p.angle for p in parts]),
-        desc=jnp.concatenate([p.desc for p in parts]),
-        valid=jnp.concatenate([p.valid for p in parts]),
+        uv=xy_all * jnp.asarray(np.concatenate(sfs))[:, None],
+        response=jnp.concatenate(resps),
+        octave=jnp.asarray(np.concatenate(octs)),
+        angle=ang,
+        desc=desc,
+        valid=jnp.concatenate(valids),
     )

@@ -53,6 +53,7 @@ class SlamConfig:
     use_gf: bool = False            # Good-Feature selection in local-map tracking
     gf_mode: str = "subset"         # "subset" | "active" | "random" | "longlive"
     gf_budget: int = 100
+    gf_batch: int = 5               # picks per selection round (latency knob)
     gf_warmup_frames: int = 40      # ref: GF off for ~5s after init (Tracking.h:104)
     max_frames_between_kf: int = 12  # ref mMaxFrames = 18*fps/30, scaled down
     ba_window: int = 8              # local BA camera window
@@ -285,6 +286,7 @@ class SlamSystem:
             jnp.asarray(dt, jnp.float32), self._next_key(),
             scale=cfg.scale, n_levels=cfg.n_levels,
             gf_budget=cfg.gf_budget, use_gf=use_gf, gf_mode=cfg.gf_mode,
+            gf_batch=cfg.gf_batch,
         )
         frame_now = frame_mod.FrameData(
             uv=res.frame_uv, uv_raw=res.frame_uv, octave=res.frame_octave,

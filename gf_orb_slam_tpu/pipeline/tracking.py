@@ -130,7 +130,7 @@ class LocalMapTrackResult(NamedTuple):
     jax.jit,
     static_argnames=(
         "cam", "scale", "n_levels", "radius", "min_inliers", "gf_budget", "use_gf",
-        "gf_mode",
+        "gf_mode", "gf_batch",
     ),
 )
 def track_local_map(
@@ -149,6 +149,7 @@ def track_local_map(
     gf_budget: int = 100,
     use_gf: bool = False,
     gf_mode: str = "subset",
+    gf_batch: int = 1,
 ) -> LocalMapTrackResult:
     """ref Tracking::TrackLocalMap (cc:2732-2830) + SearchReferencePointsInFrustum
     (cc:3149-3360), over the compact per-keyframe TrackView: frustum-filter the
@@ -195,7 +196,8 @@ def track_local_map(
         )
     if use_gf and gf_mode == "subset":
         sel = selection.lazier_greedy_maxlogdet(
-            blocks, visible & jac.visible, k=gf_budget, key=gf_key
+            blocks, visible & jac.visible, k=gf_budget, key=gf_key,
+            batch=gf_batch,
         )
         match_v = sel.selected
         gf_sel_v = sel.selected
@@ -309,7 +311,7 @@ class FusedTrackResult(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("cam", "orb_cfg", "scale", "n_levels", "gf_budget", "use_gf", "gf_mode"),
+    static_argnames=("cam", "orb_cfg", "scale", "n_levels", "gf_budget", "use_gf", "gf_mode", "gf_batch"),
 )
 def track_frame_fused(
     cam: CameraModel,
@@ -328,6 +330,7 @@ def track_frame_fused(
     gf_budget: int = 100,
     use_gf: bool = False,
     gf_mode: str = "subset",
+    gf_batch: int = 1,
 ) -> FusedTrackResult:
     """The whole per-frame WORKING path as ONE program: ORB extraction →
     motion-model tracking (with built-in wide-radius retry) → local-map
@@ -365,7 +368,7 @@ def track_frame_fused(
     r2 = track_local_map(
         cam, m, view, frame, pose1, obs1, Xv, key,
         scale=scale, n_levels=n_levels, gf_budget=gf_budget, use_gf=use_gf,
-        gf_mode=gf_mode,
+        gf_mode=gf_mode, gf_batch=gf_batch,
     )
     ok = ok1 & r2.ok
     new_velocity = se3.compose(r2.pose, se3.inverse(last_pose))

@@ -140,6 +140,24 @@ class TestSelection:
         assert np.mean(degr) < 0.5, (np.mean(degr), degr[:5])
         assert np.mean(overlaps) > 0.4, np.mean(overlaps)
 
+    def test_batched_rounds_quality(self, rng):
+        """batch>1 commits several picks per round (latency knob for the
+        fused tracker); quality must stay near exact greedy and the count
+        must land exactly on k even when batch does not divide k."""
+        blocks, valid = self.make_blocks(rng, camera.EUROC_CAM)
+        k = 60
+        exact = selection.greedy_maxlogdet(blocks, valid, k=k)
+        for batch in (5, 8, 7):
+            degr = []
+            for rep in range(5):
+                res = selection.lazier_greedy_maxlogdet(
+                    blocks, valid, k=k, key=jax.random.PRNGKey(100 + rep),
+                    batch=batch,
+                )
+                assert int(res.n_selected) == k, (batch, int(res.n_selected))
+                degr.append(float(exact.logdet) - float(res.logdet))
+            assert np.mean(degr) < 1.5, (batch, np.mean(degr))
+
     def test_deletion_keeps_best(self, rng):
         blocks, valid = self.make_blocks(rng, camera.EUROC_CAM, n=100)
         res = selection.maxvol_deletion(blocks, valid, k_remove=40)
