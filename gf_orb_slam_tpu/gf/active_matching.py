@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from gf_orb_slam_tpu.geometry import linalg
-from gf_orb_slam_tpu.gf.selection import PRIOR_EPS
+from gf_orb_slam_tpu.gf.selection import PRIOR_EPS, normalize_blocks
 
 
 class ActiveMatchResult(NamedTuple):
@@ -50,7 +50,11 @@ def active_match(
 ) -> ActiveMatchResult:
     P, D, _ = blocks.shape
     n_rounds = -(-budget // chunk)
-    M0 = info_init + PRIOR_EPS * jnp.eye(D, dtype=blocks.dtype)
+    # Same float32 conditioning discipline as selection.py: normalize blocks
+    # (and the init info, by the same factor) so Cholesky survives the
+    # early rounds; gains/ordering are scale-invariant.
+    blocks, s = normalize_blocks(blocks, candidate)
+    M0 = info_init / s + PRIOR_EPS * jnp.eye(D, dtype=blocks.dtype)
 
     def round_fn(carry, _):
         M, matched, struck, attempts = carry
@@ -83,7 +87,7 @@ def active_match(
     return ActiveMatchResult(
         matched=matched,
         kp_of_point=jnp.where(matched, match_kp, -1),
-        info_total=M,
+        info_total=M * s,
         n_attempted=attempts,
         n_matched=jnp.sum(matched.astype(jnp.int32)),
     )

@@ -28,6 +28,30 @@ from gf_orb_slam_tpu.geometry import linalg
 PRIOR_EPS = 1e-5  # ref: curMat = eye * 0.00001 (Observability.cc:2861)
 
 
+def normalize_blocks(blocks: jnp.ndarray, valid: jnp.ndarray):
+    """Scale info blocks so their mean diagonal is O(1), returning (blocks/s, s).
+
+    Raw H^T Σ⁻¹ H entries are ~1e4..1e6 (pixel Jacobians), while the greedy
+    prior is 1e-5·I — a ~1e11 condition number that float32 Cholesky cannot
+    factor, so every early-round logdet came back as the non-PD sentinel and
+    the first few greedy picks were arbitrary. (The reference runs the same
+    numbers through double-precision Armadillo, Util.hpp:714-731, which is how
+    it tolerates the absolute 1e-5 prior.) Uniform scaling shifts every logdet
+    by D·log s and leaves gains and the greedy ordering exactly invariant."""
+    D = blocks.shape[-1]
+    tr = jnp.trace(blocks, axis1=-2, axis2=-1)
+    s = jnp.sum(jnp.where(valid, tr, 0.0)) / (
+        jnp.maximum(jnp.sum(valid.astype(blocks.dtype)), 1.0) * D
+    )
+    s = jnp.maximum(s, 1e-20)
+    return blocks / s, s
+
+
+def _denorm_logdet(cur: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    D = cur.shape[-1]
+    return linalg.logdet_psd(cur) + D * jnp.log(s)
+
+
 class SelectionResult(NamedTuple):
     selected: jnp.ndarray   # (N,) bool
     info_total: jnp.ndarray  # (D, D) accumulated information matrix
@@ -55,6 +79,7 @@ def greedy_maxlogdet(
     """Exact greedy: every round scans all candidates (the reference's
     baseline greedy_mtd=1, used as ground truth in test_Greedy.cpp)."""
     N, D, _ = blocks.shape
+    blocks, s = normalize_blocks(blocks, valid)
     cur0 = PRIOR_EPS * jnp.eye(D, dtype=blocks.dtype)
     sel0 = jnp.zeros(N, bool)
     all_mask = jnp.ones(N, bool)
@@ -67,8 +92,8 @@ def greedy_maxlogdet(
     (cur, selected), _ = jax.lax.scan(round_fn, (cur0, sel0), None, length=k)
     return SelectionResult(
         selected=selected,
-        info_total=cur,
-        logdet=linalg.logdet_psd(cur),
+        info_total=cur * s,
+        logdet=_denorm_logdet(cur, s),
         n_selected=jnp.sum(selected.astype(jnp.int32)),
     )
 
@@ -95,6 +120,7 @@ def lazier_greedy_maxlogdet(
     overlap is bounded and regression-tested against exact greedy.
     """
     N, D, _ = blocks.shape
+    blocks, s = normalize_blocks(blocks, valid)
     B = max(1, min(batch, k))
     rounds = -(-k // B)
     S = max(min(int(round(N / max(k, 1) * sample_scale * B)), N), B)
@@ -129,8 +155,71 @@ def lazier_greedy_maxlogdet(
     )
     return SelectionResult(
         selected=selected,
-        info_total=cur,
-        logdet=linalg.logdet_psd(cur),
+        info_total=cur * s,
+        logdet=_denorm_logdet(cur, s),
+        n_selected=jnp.sum(selected.astype(jnp.int32)),
+    )
+
+
+@partial(jax.jit, static_argnames=("k_max", "sample_scale"))
+def auto_maxlogdet(
+    blocks: jnp.ndarray,
+    valid: jnp.ndarray,
+    k_max: int,
+    key: jnp.ndarray,
+    min_gain: float | jnp.ndarray = 0.05,
+    sample_scale: float = 2.3,
+) -> SelectionResult:
+    """Automatic selection-size variant (ref maxVolAutomatic_LazierGreedy,
+    Observability.cc:3141-3238): greedy rounds run as in lazier greedy, but
+    selection STOPS once the best candidate's marginal logdet gain falls below
+    `min_gain` — the budget k is discovered, not imposed. `n_selected` reports
+    the automatic budget; `k_max` only bounds the compiled round count.
+
+    TPU form: a lax.scan over k_max rounds with a sticky `stopped` flag
+    (submodularity makes gains non-increasing in expectation, so the first
+    sub-threshold round is the right stopping point); rounds after the stop
+    are masked no-ops rather than an early exit, keeping the program static.
+    """
+    N, D, _ = blocks.shape
+    blocks, s = normalize_blocks(blocks, valid)
+    # The true budget is unknown here (that's the point), so the lazier
+    # subset-size formula over k_max can collapse to a couple of candidates
+    # per round when k_max is generous; floor it so early rounds — the ones
+    # that matter most when the gain floor stops selection quickly — still
+    # see a meaningful sample.
+    S = max(min(int(round(N / max(k_max, 1) * sample_scale)), N), min(16, N))
+    cur0 = PRIOR_EPS * jnp.eye(D, dtype=blocks.dtype)
+    sel0 = jnp.zeros(N, bool)
+    keys = jax.random.split(key, k_max)
+    # Gains are scale-invariant (logdet differences), so min_gain needs no
+    # rescaling under the block normalization.
+    min_gain = jnp.asarray(min_gain, blocks.dtype)
+
+    def round_fn(carry, rkey):
+        cur, selected, stopped = carry
+        g = jax.random.gumbel(rkey, (N,))
+        g = jnp.where(valid & ~selected, g, -jnp.inf)
+        sub_idx = jax.lax.top_k(g, S)[1]
+        sub_ok = jnp.isfinite(g[sub_idx])
+        lds = linalg.logdet_psd(cur[None, :, :] + blocks[sub_idx])
+        lds = jnp.where(sub_ok, lds, -jnp.inf)
+        j = jnp.argmax(lds)
+        best = sub_idx[j]
+        gain = lds[j] - linalg.logdet_psd(cur)
+        take = jnp.isfinite(lds[j]) & (gain >= min_gain) & ~stopped
+        stopped = stopped | ~take
+        cur = jnp.where(take, cur + blocks[best], cur)
+        selected = selected.at[best].set(take | selected[best])
+        return (cur, selected, stopped), None
+
+    (cur, selected, _), _ = jax.lax.scan(
+        round_fn, (cur0, sel0, jnp.asarray(False)), keys
+    )
+    return SelectionResult(
+        selected=selected,
+        info_total=cur * s,
+        logdet=_denorm_logdet(cur, s),
         n_selected=jnp.sum(selected.astype(jnp.int32)),
     )
 
@@ -143,6 +232,7 @@ def maxvol_deletion(
     the full set's info sum and repeatedly delete the landmark whose removal
     costs the least logdet. Returns the SURVIVING set as `selected`."""
     N, D, _ = blocks.shape
+    blocks, s = normalize_blocks(blocks, valid)
     total = PRIOR_EPS * jnp.eye(D, dtype=blocks.dtype) + jnp.sum(
         jnp.where(valid[:, None, None], blocks, 0.0), axis=0
     )
@@ -161,8 +251,8 @@ def maxvol_deletion(
     (cur, alive), _ = jax.lax.scan(round_fn, (total, alive0), None, length=k_remove)
     return SelectionResult(
         selected=alive,
-        info_total=cur,
-        logdet=linalg.logdet_psd(cur),
+        info_total=cur * s,
+        logdet=_denorm_logdet(cur, s),
         n_selected=jnp.sum(alive.astype(jnp.int32)),
     )
 

@@ -158,6 +158,20 @@ class TestSelection:
                 degr.append(float(exact.logdet) - float(res.logdet))
             assert np.mean(degr) < 1.5, (batch, np.mean(degr))
 
+    def test_auto_budget_stops_on_gain_floor(self, rng):
+        """ref maxVolAutomatic_*: the budget is discovered from the marginal
+        gain floor. A high floor must select fewer points than a low floor,
+        never exceed k_max, and what it does select must be near-greedy
+        quality at the same count."""
+        blocks, valid = self.make_blocks(rng, camera.EUROC_CAM)
+        key = jax.random.PRNGKey(7)
+        res_lo = selection.auto_maxlogdet(blocks, valid, k_max=120, key=key, min_gain=0.01)
+        res_hi = selection.auto_maxlogdet(blocks, valid, k_max=120, key=key, min_gain=0.8)
+        n_lo, n_hi = int(res_lo.n_selected), int(res_hi.n_selected)
+        assert 0 < n_hi < n_lo <= 120, (n_hi, n_lo)
+        exact = selection.greedy_maxlogdet(blocks, valid, k=n_hi)
+        assert float(exact.logdet) - float(res_hi.logdet) < 1.5
+
     def test_deletion_keeps_best(self, rng):
         blocks, valid = self.make_blocks(rng, camera.EUROC_CAM, n=100)
         res = selection.maxvol_deletion(blocks, valid, k_remove=40)
