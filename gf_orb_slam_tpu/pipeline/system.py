@@ -51,7 +51,7 @@ class SlamConfig:
     max_points: int = 16384
     use_motion_model: bool = True
     use_gf: bool = False            # Good-Feature selection in local-map tracking
-    gf_mode: str = "subset"         # "subset" | "active" | "random" | "longlive"
+    gf_mode: str = "subset"         # "subset" | "auto" | "active" | "random" | "longlive"
     gf_budget: int = 100
     gf_batch: int = 5               # picks per selection round (latency knob)
     gf_warmup_frames: int = 40      # ref: GF off for ~5s after init (Tracking.h:104)

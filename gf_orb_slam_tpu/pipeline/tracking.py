@@ -184,12 +184,14 @@ def track_local_map(
 
     # --- optional budgeted selection over the visible candidates ---
     # gf_mode: "subset"   Max-logDet lazier-greedy, then match the subset
+    #          "auto"     same, but the budget is discovered from the marginal
+    #                     gain floor (ref maxVolAutomatic_*); gf_budget caps it
     #          "active"   select-then-match by marginal logDet gain
     #          "random"   budget-size random subset (ref runBaselineMapMatching
     #                     RANDOM_MAP_MATCHING baseline, Observability.cc:1819)
     #          "longlive" budget oldest-first by first observing keyframe (ref
     #                     LONGLIVE_MAP_MATCHING baseline)
-    if use_gf and gf_mode in ("subset", "active"):
+    if use_gf and gf_mode in ("subset", "auto", "active"):
         jac = observability.measurement_jacobians(cam, Xv, pos_v)
         blocks = observability.info_matrices(
             observability.whiten(jac.H, jnp.ones((V,))), jac.visible & valid_v
@@ -198,6 +200,12 @@ def track_local_map(
         sel = selection.lazier_greedy_maxlogdet(
             blocks, visible & jac.visible, k=gf_budget, key=gf_key,
             batch=gf_batch,
+        )
+        match_v = sel.selected
+        gf_sel_v = sel.selected
+    elif use_gf and gf_mode == "auto":
+        sel = selection.auto_maxlogdet(
+            blocks, visible & jac.visible, k_max=gf_budget, key=gf_key,
         )
         match_v = sel.selected
         gf_sel_v = sel.selected

@@ -83,7 +83,7 @@ class TestEndToEnd:
         """The reference's ablation baselines (RANDOM / LONGLIVE budgeted
         matching, Observability::runBaselineMapMatching cc:1819) track the
         synthetic sequence at the same budget."""
-        for mode in ("random", "longlive"):
+        for mode in ("random", "longlive", "auto"):
             system, rmse = run_sequence(
                 SlamConfig(
                     n_features=600, max_frames_between_kf=8,
