@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--rounds", type=int, default=1)
     ap.add_argument("--out-dir", default="results")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--pipeline", type=int, default=0)
     args = ap.parse_args()
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -45,6 +46,8 @@ def main():
                 argv = ["--out", prefix, "--gf-budget", str(budget)]
                 if args.cpu:
                     argv.append("--cpu")
+                if args.pipeline:
+                    argv += ["--pipeline", str(args.pipeline)]
                 if path is None:
                     argv += ["--synthetic", str(args.synthetic)]
                 else:

@@ -42,7 +42,7 @@ def main():
 
     system = SlamSystem(
         cam,
-        SlamConfig(n_features=800, max_frames_between_kf=10, use_gf=False, pipelined=True, pipeline_depth=2),
+        SlamConfig(n_features=800, max_frames_between_kf=10, use_gf=False, pipelined=True, pipeline_depth=6),
     )
 
     # Warmup: initialization + first compiles, including the loop-detection

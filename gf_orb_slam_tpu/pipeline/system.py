@@ -71,7 +71,9 @@ class SlamConfig:
     view_size: int = 4096           # local-map tracking view capacity
     max_lost_frames: int = 100      # give up after this many LOST frames (ref 5s rule)
     pipelined: bool = False         # late readback (hides device/fetch RTT)
-    pipeline_depth: int = 3         # frames in flight when pipelined
+    pipeline_depth: int = 4         # frames in flight when pipelined (4-8 hides
+                                    # a ~60ms fetch RTT; deeper = keyframe/loss
+                                    # decisions lag further behind the camera)
 
 
 @dataclass
@@ -118,7 +120,8 @@ class SlamSystem:
         self.n_kf = 0
         self.trajectory: list[tuple[float, np.ndarray]] = []
         self.logs: list[FrameLog] = []
-        self._key = jax.random.PRNGKey(0)
+        self._seed = 0
+        self._key = jax.random.PRNGKey(self._seed)
         self.frames_since_init = 0
         # place recognition state
         self.voc: voc_mod.Vocabulary | None = None
@@ -147,6 +150,14 @@ class SlamSystem:
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
         return k
+
+    def _frame_key(self):
+        """Per-frame PRNG key built on the HOST (raw threefry uint32 pair from
+        the seed + frame counter) — jax.random.split here would be one extra
+        device dispatch per tracked frame, a full tunnel round trip."""
+        return jnp.asarray(
+            np.asarray([0x9E3779B9 ^ self._seed, self.frame_id], np.uint32)
+        )
 
     def process(self, img: jnp.ndarray, timestamp: float) -> FrameLog:
         cfg_now = (
@@ -283,7 +294,7 @@ class SlamSystem:
             self.cam, self.orb_cfg, self.map, self.track_view, img,
             self.last_pose, self.last_obs, self.last_frame.uv,
             self.velocity if cfg.use_motion_model else se3.identity_pose(),
-            jnp.asarray(dt, jnp.float32), self._next_key(),
+            jnp.asarray(dt, jnp.float32), self._frame_key(),
             scale=cfg.scale, n_levels=cfg.n_levels,
             gf_budget=cfg.gf_budget, use_gf=use_gf, gf_mode=cfg.gf_mode,
             gf_batch=cfg.gf_batch,

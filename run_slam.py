@@ -33,6 +33,8 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=0, help="cap processed frames")
     ap.add_argument("--out", default="results/run", help="output prefix")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--pipeline", type=int, default=0,
+                    help="frames in flight (>1 hides fetch RTT; 0 = synchronous)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -62,6 +64,9 @@ def main(argv=None):
     if args.gf_budget > 0:
         cfg.use_gf = True
         cfg.gf_budget = args.gf_budget
+    if args.pipeline > 1:
+        cfg.pipelined = True
+        cfg.pipeline_depth = args.pipeline
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     system = SlamSystem(cam, cfg)

@@ -68,9 +68,13 @@ def main(which=None):
         return acc
 
     @jax.jit
-    def s_moments(img):
+    def s_integrals(img):
         lv = pyr.build_pyramid(img, cfg.n_levels, cfg.scale)
-        return sum(jnp.sum(orb.moment_maps(l)[:, ::64, ::64]) for l in lv)
+        acc = jnp.float32(0)
+        for l in lv:
+            S, Sx, _ = orb.level_moment_integrals(l)
+            acc = acc + jnp.sum(S[::64, ::64]) + jnp.sum(Sx[::64, ::64])
+        return acc
 
     @jax.jit
     def s_blur(img):
@@ -102,7 +106,7 @@ def main(which=None):
     stages = [
         ("pyramid", s_pyramid),
         ("pyr+fast", s_fast),
-        ("pyr+moments", s_moments),
+        ("pyr+integrals", s_integrals),
         ("pyr+blur", s_blur),
         ("extract_full", s_extract),
         ("fused_track", s_fused),
