@@ -147,6 +147,28 @@ class SlamSystem:
         )
 
     # ------------------------------------------------------------------
+    def load_map_state(self, m: ms.MapState, voc=None, db=None):
+        """Resume from a saved map (io_utils/snapshot.py): the system starts
+        LOST and relocalizes against the loaded map on the first frames — the
+        localization-resume capability the reference lacks (map is in-memory
+        only there, SURVEY §5). The map's capacities must match this config
+        (same n_features/max_keyframes/max_points)."""
+        if m.kp_capacity != self.map.kp_capacity:
+            raise ValueError(
+                f"snapshot keypoint capacity {m.kp_capacity} != configured "
+                f"{self.map.kp_capacity} (2*n_features) — load with the same config"
+            )
+        self.map = m
+        self.n_kf = int(np.asarray(m.kf_valid).sum())
+        if voc is not None:
+            self.voc = voc
+            self._preset_voc = voc
+        if db is not None:
+            self.bow_db = db
+        self.state = State.LOST
+        self.lost_frames = 0
+
+    # ------------------------------------------------------------------
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
         return k

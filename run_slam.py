@@ -35,6 +35,8 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--pipeline", type=int, default=0,
                     help="frames in flight (>1 hides fetch RTT; 0 = synchronous)")
+    ap.add_argument("--save-map", help="write a map snapshot (.npz) at sequence end")
+    ap.add_argument("--load-map", help="resume from a map snapshot (relocalize-only start)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -74,6 +76,10 @@ def main(argv=None):
         from gf_orb_slam_tpu.retrieval import vocabulary as voc_mod
 
         system.set_vocabulary(voc_mod.load_vocabulary(args.vocabulary))
+    if args.load_map:
+        from gf_orb_slam_tpu.io_utils import snapshot
+
+        system.load_map_state(*snapshot.load_map(args.load_map))
 
     gt_positions = None
     if args.synthetic:
@@ -120,6 +126,10 @@ def main(argv=None):
         f"{args.out}_KeyFrameTrajectory.txt", kf_ts[order], kf_poses[order]
     )
     system.time_log.save(f"{args.out}_TimeLog.txt")
+    if args.save_map:
+        from gf_orb_slam_tpu.io_utils import snapshot
+
+        snapshot.save_map(args.save_map, system.map, system.voc, system.bow_db)
 
     result = {
         "frames": n,

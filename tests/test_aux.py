@@ -42,6 +42,40 @@ class TestSnapshot:
         assert voc2 is None and db2 is None
         assert int(m2.n_kf) == int(m.n_kf)
 
+    @pytest.mark.slow
+    def test_resume_relocalizes(self, tmp_path):
+        """Build a map on a synthetic run, snapshot it, resume a fresh system
+        from the snapshot: it must start LOST, relocalize against the loaded
+        map within a few frames, and track accurately (the localization-resume
+        capability the reference lacks, SURVEY §5)."""
+        from gf_orb_slam_tpu.io_utils import synthetic
+        from gf_orb_slam_tpu.pipeline.system import SlamConfig, SlamSystem, State
+        from tests.test_pipeline_e2e import CAM
+
+        cfg = SlamConfig(n_features=600, max_frames_between_kf=8)
+        scene = synthetic.make_scene(seed=0)
+        n = 30
+        ts, poses_gt = synthetic.trajectory(n, fps=20.0)
+        sys1 = SlamSystem(CAM, cfg)
+        for i in range(n):
+            img = synthetic.render(scene, CAM, jnp.asarray(poses_gt[i]))
+            sys1.process(img, float(ts[i]))
+        sys1.flush()
+        assert sys1.n_kf >= 3
+        p = str(tmp_path / "map.npz")
+        snapshot.save_map(p, sys1.map, sys1.voc, sys1.bow_db)
+
+        sys2 = SlamSystem(CAM, cfg)
+        sys2.load_map_state(*snapshot.load_map(p))
+        assert sys2.state == State.LOST
+        tracked = 0
+        for i in range(10, n):  # start mid-sequence: pure relocalization
+            img = synthetic.render(scene, CAM, jnp.asarray(poses_gt[i]))
+            log = sys2.process(img, float(ts[i]))
+            tracked += log.pose_cw is not None
+        sys2.flush()
+        assert tracked >= (n - 10) - 3, tracked
+
 
 class TestViz:
     def test_annotate_frame(self, rng):
