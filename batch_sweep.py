@@ -64,7 +64,8 @@ def main():
     print(f"{'seq':>12} {'budget':>7} {'rmse_cm':>8} {'track_ms':>9} {'frames':>7}")
     for row in summary:
         rmse = row.get("ate_rmse_m")
-        track = row.get("timing", {}).get("total", {}).get("mean_ms", 0)
+        tot = row.get("timing", {}).get("total", {})
+        track = tot.get("median_ms", tot.get("mean_ms", 0))
         print(
             f"{row['seq']:>12} {row['budget']:>7} "
             f"{(rmse * 100 if rmse else float('nan')):>8.2f} {track:>9.1f} {row['tracked']:>7}"

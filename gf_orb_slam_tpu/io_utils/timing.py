@@ -83,9 +83,12 @@ class TimeLog:
             return {}
         out = {}
         for s in STAGES:
-            vals = [fr.stages_ms.get(s, 0.0) for fr in self.frames]
+            vals = sorted(fr.stages_ms.get(s, 0.0) for fr in self.frames)
             out[s] = {
                 "mean_ms": sum(vals) / len(vals),
-                "max_ms": max(vals),
+                # Median is the steady-state number: first-call XLA compiles
+                # land on single frames and dominate the mean/max otherwise.
+                "median_ms": vals[len(vals) // 2],
+                "max_ms": vals[-1],
             }
         return out
