@@ -322,6 +322,8 @@ class SlamSystem:
             gf_batch=cfg.gf_batch,
         )
         frame_now = frame_mod.FrameData(
+            # uv_raw approximated by undistorted uv here: the fused program
+            # returns only undistorted coords (raw ones are viz-only).
             uv=res.frame_uv, uv_raw=res.frame_uv, octave=res.frame_octave,
             angle=res.frame_angle, desc=res.frame_desc,
             response=jnp.zeros_like(res.frame_angle), valid=res.frame_valid,
