@@ -189,31 +189,6 @@ def brief_descriptors(
     return words  # (N, 8)
 
 
-def ic_angles_flat(
-    flat: jnp.ndarray, xy: jnp.ndarray, base: jnp.ndarray,
-    wl: jnp.ndarray, hl: jnp.ndarray,
-) -> jnp.ndarray:
-    """ic_angles over a flattened multi-level pyramid: keypoints from ALL
-    levels in one (N, 961) gather + one matmul, instead of n_levels sequential
-    small gathers (which were latency-bound at ~6 ms/frame on a v5e).
-
-    flat: concatenated level images; base/wl/hl: per-keypoint level offset and
-    level dimensions (row stride = wl).
-    """
-    r = HALF_PATCH
-    xi = jnp.clip(xy[:, 0].astype(jnp.int32), r, wl - 1 - r)
-    yi = jnp.clip(xy[:, 1].astype(jnp.int32), r, hl - 1 - r)
-    dy, dx = np.mgrid[-r : r + 1, -r : r + 1]
-    dyv = jnp.asarray(dy.reshape(-1), jnp.int32)
-    dxv = jnp.asarray(dx.reshape(-1), jnp.int32)
-    center = base + yi * wl + xi
-    idx = center[:, None] + dyv[None, :] * wl[:, None] + dxv[None, :]  # (N, 961)
-    patches = jnp.take(flat, idx, axis=0)
-    m = patches @ jnp.asarray(_MOMENT_FLAT)
-    ang = jnp.arctan2(m[:, 1], m[:, 0])
-    return jnp.where(ang < 0, ang + 2.0 * jnp.pi, ang)
-
-
 _INT_SCALE = 8  # fixed-point scale for integral-image moments (1/8 intensity)
 
 
@@ -276,7 +251,7 @@ def brief_descriptors_flat(
     base: jnp.ndarray, wl: jnp.ndarray, hl: jnp.ndarray,
 ) -> jnp.ndarray:
     """brief_descriptors over a flattened pyramid — one (N, 512) gather for
-    all levels (see ic_angles_flat)."""
+    all levels (same flat-buffer layout as ic_angles_rows)."""
     rot = jnp.asarray(_ROT_PATTERNS)  # (30, 256, 2, 2)
     bins = jnp.clip(
         jnp.round(angles * (N_ROT_BINS / (2.0 * jnp.pi))).astype(jnp.int32) % N_ROT_BINS,

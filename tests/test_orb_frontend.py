@@ -79,6 +79,16 @@ class TestPyramid:
         assert sum(q) == 800
         assert all(q[i] >= q[i + 1] for i in range(6))
 
+    def test_batched_resize_matches_chain(self, rng):
+        """build_pyramid (2 batched matmuls from composed chain matrices) must
+        reproduce the sequential per-level cascade to float32 tolerance."""
+        img = jnp.asarray(rng.uniform(0, 255, (120, 188)).astype(np.float32))
+        fast_lv = pyramid.build_pyramid(img, 5, 1.2)
+        chain_lv = pyramid.build_pyramid_chain(img, 5, 1.2)
+        for a, b in zip(fast_lv, chain_lv):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
     def test_blur_preserves_mean(self, rng):
         img = jnp.asarray(rng.uniform(0, 255, (64, 64)).astype(np.float32))
         b = pyramid.gaussian_blur(img)
