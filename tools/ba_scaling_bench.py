@@ -100,12 +100,24 @@ def main():
             jax.block_until_ready(out.poses)
         dt = (time.perf_counter() - t0) / reps / args.lm_iters * 1e3
         results[d] = dt
-        eff = results[sizes[0]] * sizes[0] / (dt * d) if d > sizes[0] else 1.0
-        print(
-            f"devices={d:3d}  ms/LM-iter={dt:8.2f}  cost={float(out.cost):10.1f}  "
-            f"scaling-eff={eff:5.2f}",
-            flush=True,
-        )
+        if args.virtual:
+            # Virtual shards share ONE host's cores: aggregate compute is
+            # fixed, so ideal is FLAT time and the meaningful number is the
+            # partition+collective overhead vs 1 shard — true scaling
+            # efficiency requires real devices.
+            ovh = dt / results[sizes[0]] - 1.0
+            print(
+                f"devices={d:3d}  ms/LM-iter={dt:8.2f}  cost={float(out.cost):10.1f}  "
+                f"shard-overhead={ovh:+6.1%} (virtual mesh: shared compute)",
+                flush=True,
+            )
+        else:
+            eff = results[sizes[0]] * sizes[0] / (dt * d) if d > sizes[0] else 1.0
+            print(
+                f"devices={d:3d}  ms/LM-iter={dt:8.2f}  cost={float(out.cost):10.1f}  "
+                f"scaling-eff={eff:5.2f}",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":
