@@ -107,15 +107,17 @@ def empty_map(
 
 
 def incidence(m: MapState) -> jnp.ndarray:
-    """(K, P) bool — keyframe k observes point p. The master derived object."""
+    """(K, P) bool — keyframe k observes point p. The master derived object.
+
+    Scattered with FLAT 1-D indices (k·P + p): multi-dimensional scatter
+    indices lower to a much slower TPU path than a single index vector."""
     K, P = m.kf_capacity, m.pt_capacity
     obs = m.kf_obs_point  # (K, N)
     ok = (obs >= 0) & m.kf_valid[:, None]
-    # scatter keypoint observations into a dense (K, P) indicator
-    A = jnp.zeros((K, P), bool)
     k_idx = jax.lax.broadcasted_iota(jnp.int32, obs.shape, 0)
-    A = A.at[k_idx, jnp.where(ok, obs, 0)].max(ok)
-    return A & m.pt_valid[None, :]
+    flat = jnp.where(ok, k_idx * P + obs, K * P)
+    A = jnp.zeros((K * P,), bool).at[flat.reshape(-1)].set(True, mode="drop")
+    return A.reshape(K, P) & m.pt_valid[None, :]
 
 
 def covisibility(m: MapState, A: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -129,9 +131,37 @@ def covisibility(m: MapState, A: jnp.ndarray | None = None) -> jnp.ndarray:
     return jnp.where(m.kf_valid[:, None] & m.kf_valid[None, :], W, 0)
 
 
+def covisibility_row(m: MapState, kf_id: jnp.ndarray) -> jnp.ndarray:
+    """(K,) int32 — shared-point counts between kf_id and every keyframe,
+    WITHOUT building the full incidence/covisibility: mark kf_id's points
+    (one small scatter), then count marked hits along each keyframe's
+    observation row (one gather + row reduce). The keyframe-insertion program
+    only ever needs the new keyframe's row for neighbor/window selection."""
+    P = m.pt_capacity
+    obs_new = m.kf_obs_point[kf_id]
+    marked = jnp.zeros((P + 1,), bool).at[
+        jnp.where(obs_new >= 0, obs_new, P)
+    ].set(True, mode="drop")
+    marked = marked.at[P].set(False)
+    marked = marked & jnp.pad(m.pt_valid, (0, 1))
+    obs = m.kf_obs_point
+    hit = marked[jnp.where(obs >= 0, obs, P)]        # (K, N)
+    w = jnp.sum(hit, axis=1).astype(jnp.int32)
+    w = jnp.where(m.kf_valid & m.kf_valid[kf_id], w, 0)
+    return w.at[kf_id].set(0)
+
+
 def point_observation_count(m: MapState) -> jnp.ndarray:
-    """(P,) int32 — number of keyframes observing each point."""
-    return jnp.sum(incidence(m).astype(jnp.int32), axis=0)
+    """(P,) int32 — number of keyframes observing each point.
+
+    Direct 1-D scatter-add from the observation table — building the full
+    (K, P) incidence just to column-reduce it costs a K·P materialization."""
+    obs = m.kf_obs_point
+    ok = (obs >= 0) & m.kf_valid[:, None]
+    cnt = jnp.zeros((m.pt_capacity,), jnp.int32).at[
+        jnp.where(ok, obs, m.pt_capacity).reshape(-1)
+    ].add(1, mode="drop")
+    return cnt * m.pt_valid.astype(jnp.int32)
 
 
 def spanning_tree_parent(m: MapState, W: jnp.ndarray | None = None) -> jnp.ndarray:

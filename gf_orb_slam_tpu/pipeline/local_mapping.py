@@ -35,7 +35,7 @@ class InsertResult(NamedTuple):
     jax.jit,
     static_argnames=(
         "cam", "scale", "n_levels", "ba_window", "ba_fixed", "n_tri_neighbors",
-        "ba_points",
+        "ba_points", "ba_iters",
     ),
     donate_argnums=(1,),
 )
@@ -57,6 +57,7 @@ def insert_keyframe_fused(
     ba_fixed: int = 2,
     n_tri_neighbors: int = 2,
     ba_points: int = 4096,
+    ba_iters: tuple = (5, 10),
 ) -> InsertResult:
     """Insert + run the whole local-mapping pipeline. kp_* arrays must already
     be padded to the map's keypoint capacity."""
@@ -66,8 +67,7 @@ def insert_keyframe_fused(
     )
 
     # Covisibility + triangulation neighbors (top-n by shared points, ≥10).
-    W = ms.covisibility(m)
-    w_row = W[kf_id]
+    w_row = ms.covisibility_row(m, kf_id)
     top_w, top_ids = jax.lax.top_k(w_row, n_tri_neighbors)
     for i in range(n_tri_neighbors):
         nb = top_ids[i]
@@ -84,8 +84,7 @@ def insert_keyframe_fused(
     m = keyframe_ops.cull_points(m, kf_id)
 
     # --- local BA over the top covisibility window (fixed shapes) ---
-    W2 = ms.covisibility(m)
-    w_row2 = W2[kf_id].at[kf_id].set(jnp.int32(1 << 30))  # self always in window
+    w_row2 = ms.covisibility_row(m, kf_id).at[kf_id].set(jnp.int32(1 << 30))  # self always in window
     top_w2, win_ids = jax.lax.top_k(w_row2, ba_window)
     active = top_w2 > 0
     # Order by keyframe id so the fixed boundary = the earliest ones.
@@ -131,7 +130,7 @@ def insert_keyframe_fused(
         obs_point=obs_l,
         obs_w=jnp.where(obs_l >= 0, 1.0 / sigma2, 0.0),
     )
-    res = local_ba.bundle_adjust(cam, prob, iters_stage1=5, iters_stage2=10)
+    res = local_ba.bundle_adjust(cam, prob, iters_stage1=ba_iters[0], iters_stage2=ba_iters[1])
     safe_ids = jnp.where(active, win_ids, m.kf_capacity)
     # Observations outside the compacted BA keep their status; only
     # BA-classified outliers are dropped.

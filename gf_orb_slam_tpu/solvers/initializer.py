@@ -126,23 +126,43 @@ def _score_fundamental(F, uv1, uv2, mask):
 # ---------------------------------------------------------------------------
 
 
+def _dlt_rows(P1, P2, uv1, uv2):
+    """(N, 4, 4) homogeneous DLT constraint rows for each correspondence."""
+    return jnp.stack(
+        [
+            uv1[:, 0, None] * P1[2] - P1[0],
+            uv1[:, 1, None] * P1[2] - P1[1],
+            uv2[:, 0, None] * P2[2] - P2[0],
+            uv2[:, 1, None] * P2[2] - P2[1],
+        ],
+        axis=1,
+    )
+
+
 def triangulate_dlt(P1: jnp.ndarray, P2: jnp.ndarray, uv1: jnp.ndarray, uv2: jnp.ndarray):
-    """Linear triangulation, batched over points. P: (3,4); uv: (N,2) pixels."""
+    """Linear triangulation, batched over points. P: (3,4); uv: (N,2) pixels.
 
-    def one(uva, uvb):
-        A = jnp.stack(
-            [
-                uva[0] * P1[2] - P1[0],
-                uva[1] * P1[2] - P1[1],
-                uvb[0] * P2[2] - P2[0],
-                uvb[1] * P2[2] - P2[1],
-            ]
-        )
-        x = linalg.smallest_eigvec_sym(A.T @ A)
-        w = jnp.where(jnp.abs(x[3]) < 1e-10, 1e-10, x[3])
-        return x[:3] / w
+    Inhomogeneous DLT: fix w=1 and solve the 4×3 least squares with
+    closed-form 3×3 normal equations (linalg.inv3) — the homogeneous
+    nullspace needs a batched 4×4 eigendecomposition, which on TPU lowers to
+    an iterative solver and dominated the keyframe-insertion program. w=1
+    only degrades for near-infinity points, which the callers' parallax and
+    chirality gates reject anyway (triangulate_dlt_homogeneous kept below as
+    the reference oracle)."""
+    A = _dlt_rows(P1, P2, uv1, uv2)                       # (N, 4, 4)
+    B, a4 = A[:, :, :3], A[:, :, 3]
+    BtB = jnp.einsum("nij,nik->njk", B, B)                # (N, 3, 3)
+    rhs = -jnp.einsum("nij,ni->nj", B, a4)                # (N, 3)
+    return jnp.einsum("njk,nk->nj", linalg.inv3(BtB), rhs)
 
-    return jax.vmap(one)(uv1, uv2)
+
+def triangulate_dlt_homogeneous(P1, P2, uv1, uv2):
+    """Nullspace (eigen) DLT — exact homogeneous solution; slow on TPU."""
+    A = _dlt_rows(P1, P2, uv1, uv2)
+    M = jnp.einsum("nij,nik->njk", A, A)
+    x = linalg.smallest_eigvec_sym(M)
+    w = jnp.where(jnp.abs(x[:, 3]) < 1e-10, 1e-10, x[:, 3])
+    return x[:, :3] / w[:, None]
 
 
 def _check_rt(R, t, cam: CameraModel, uv1, uv2, mask, sigma2_reproj=4.0):

@@ -43,6 +43,10 @@ class TestMapState:
         W = np.asarray(ms.covisibility(m))
         assert (W[:3, :3] - 20 * (1 - np.eye(3)) == 0).all()
         assert (np.asarray(ms.point_observation_count(m))[:20] == 3).all()
+        # Row shortcut must agree with the full matrix for every keyframe.
+        for k in range(4):
+            row = np.asarray(ms.covisibility_row(m, jnp.asarray(k)))
+            np.testing.assert_array_equal(row, W[k])
 
     def test_spanning_tree(self):
         m = small_map()

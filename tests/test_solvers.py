@@ -168,3 +168,31 @@ class TestTwoViewInit:
         uv1, uv2, ok, _, _ = self.make_pair(rng, cam, planar=False, baseline=0.0, noise=0.2)
         res = initializer.initialize_two_view(cam, uv1, uv2, ok, jax.random.PRNGKey(7))
         assert not bool(res.success)
+
+
+class TestTriangulateDLT:
+    def test_inhomogeneous_matches_homogeneous(self, rng):
+        """The closed-form inhomogeneous DLT (production path) must agree with
+        the homogeneous nullspace solution on well-conditioned geometry."""
+        import jax.numpy as jnp
+        from gf_orb_slam_tpu.geometry import se3, quat
+        from gf_orb_slam_tpu.geometry.camera import EUROC_CAM, project
+        from gf_orb_slam_tpu.solvers.initializer import (
+            triangulate_dlt, triangulate_dlt_homogeneous)
+
+        cam = EUROC_CAM
+        X = rng.uniform([-3, -2, 4.0], [3, 2, 12.0], (200, 3)).astype(np.float32)
+        p1 = se3.identity_pose()
+        p2 = se3.make_pose(
+            quat.v2q(jnp.asarray([0.0, 0.02, 0.0])), jnp.asarray([-0.3, 0.0, 0.0])
+        )
+        uv1, _, ok1 = project(cam, se3.transform_point(p1, jnp.asarray(X)))
+        uv2, _, ok2 = project(cam, se3.transform_point(p2, jnp.asarray(X)))
+        ok = np.asarray(ok1 & ok2)
+        P1 = cam.K @ np.asarray(se3.pose_matrix(p1))[:3]
+        P2 = cam.K @ np.asarray(se3.pose_matrix(p2))[:3]
+        Xa = np.asarray(triangulate_dlt(jnp.asarray(P1), jnp.asarray(P2), uv1, uv2))
+        Xb = np.asarray(triangulate_dlt_homogeneous(
+            jnp.asarray(P1), jnp.asarray(P2), uv1, uv2))
+        np.testing.assert_allclose(Xa[ok], X[ok], atol=2e-2)
+        np.testing.assert_allclose(Xa[ok], Xb[ok], atol=2e-2)

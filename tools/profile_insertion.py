@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Stage attribution for the fused keyframe-insertion program: time full
+insertion against variants with pieces dialed down, chained map-to-map so
+each dispatch consumes the previous result (same discipline as
+profile_stages.py — a ~4.3 ms/link dispatch floor applies; differences
+between variants are the signal)."""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from gf_orb_slam_tpu.geometry.camera import CameraModel
+from gf_orb_slam_tpu.io_utils import synthetic
+from gf_orb_slam_tpu.mapping import map_state as ms
+from gf_orb_slam_tpu.pipeline import local_mapping
+from gf_orb_slam_tpu.pipeline.system import SlamConfig, SlamSystem
+
+CHAIN = 6
+
+
+def main():
+    cam = CameraModel(fx=458.0, fy=458.0, cx=376.0, cy=240.0,
+                      width=752, height=480, fps=20.0)
+    scene = synthetic.make_scene(seed=0)
+    ts, poses_gt = synthetic.trajectory(30, fps=20.0)
+    system = SlamSystem(cam, SlamConfig(n_features=800, max_frames_between_kf=6))
+    for i in range(30):
+        img = synthetic.render(scene, cam, jnp.asarray(poses_gt[i]))
+        system.process(img, float(ts[i]))
+    system.flush()
+    print(f"map ready: kfs={system.n_kf} pts={int(system.map.pt_valid.sum())}", flush=True)
+
+    cfg = system.cfg
+    f = system.last_frame
+    Nm = system.map.kp_capacity
+    pad = Nm - f.capacity
+
+    def pz(a, fill=0):
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, widths, constant_values=fill)
+
+    uv, oct_, ang, desc = pz(f.uv), pz(f.octave), pz(f.angle), pz(f.desc)
+    val, obs = pz(f.valid, False), pz(system.last_obs, ms.NO_POINT)
+    pose = system.last_pose
+
+    variants = [
+        ("full (tri2, ba 5+10, pts4096)", dict()),
+        ("ba 1+1", dict(ba_iters=(1, 1))),
+        ("ba 0+0", dict(ba_iters=(0, 0))),
+        ("no triangulation", dict(n_tri_neighbors=0)),
+        ("pts 2048", dict(ba_points=2048)),
+        ("window 6", dict(ba_window=6)),
+    ]
+
+    def run_once(m0, kw):
+        m = m0
+        fid = 1000
+        out = None
+        for i in range(CHAIN):
+            out = local_mapping.insert_keyframe_fused(
+                cam, m, pose, jnp.asarray(fid + i), jnp.asarray(1.0 * i),
+                uv, oct_, ang, desc, val, obs,
+                scale=cfg.scale, n_levels=cfg.n_levels,
+                ba_window=kw.get("ba_window", cfg.ba_window), ba_fixed=cfg.ba_fixed,
+                n_tri_neighbors=kw.get("n_tri_neighbors", cfg.triangulate_neighbors),
+                ba_points=kw.get("ba_points", cfg.ba_points),
+                ba_iters=kw.get("ba_iters", (5, 10)),
+            )
+            m = out.m
+        float(out.kf_id)
+
+    # NOTE: insert_keyframe_fused donates the map arg — copy per run.
+    for name, kw in variants:
+        m0 = jax.tree.map(lambda a: a + 0 if hasattr(a, "dtype") else a, system.map)
+        t0 = time.perf_counter()
+        run_once(m0, kw)
+        print(f"warm {name}: {time.perf_counter()-t0:.1f}s", flush=True)
+
+    best = {name: float("inf") for name, _ in variants}
+    for rep in range(3):
+        for name, kw in variants:
+            m0 = jax.tree.map(lambda a: a + 0 if hasattr(a, "dtype") else a, system.map)
+            t0 = time.perf_counter()
+            run_once(m0, kw)
+            best[name] = min(best[name], (time.perf_counter() - t0) / CHAIN)
+    print(f"\n{'variant':>32} {'ms/insert':>10}", flush=True)
+    for name, _ in variants:
+        print(f"{name:>32} {best[name]*1e3:10.2f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
