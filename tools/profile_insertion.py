@@ -72,6 +72,48 @@ def main():
             m = out.m
         float(out.kf_id)
 
+    # --- standalone sub-stage programs (4.3 ms/link dispatch floor applies;
+    # each chains on a scalar derived from the map) ---
+    from gf_orb_slam_tpu.mapping import keyframe_ops
+
+    mm = system.map
+
+    def chain_scalar(fn, name):
+        import jax as _jax
+
+        jfn = _jax.jit(fn)
+        t0 = time.perf_counter()
+        float(jfn(mm, jnp.float32(0)))
+        print(f"warm {name}: {time.perf_counter()-t0:.1f}s", flush=True)
+        best = float("inf")
+        for _ in range(3):
+            s = jnp.float32(0)
+            t0 = time.perf_counter()
+            for _ in range(CHAIN):
+                s = jfn(mm, s * 1e-12)
+            float(s)
+            best = min(best, (time.perf_counter() - t0) / CHAIN)
+        print(f"{name:>32} {best*1e3:10.2f}", flush=True)
+
+    chain_scalar(lambda m, s: jnp.sum(ms.covisibility_row(
+        m._replace(pt_pos=m.pt_pos + s), jnp.asarray(3))).astype(jnp.float32),
+        "sub: covisibility_row")
+    chain_scalar(lambda m, s: jnp.sum(ms.incidence(
+        m._replace(pt_pos=m.pt_pos + s)).astype(jnp.int32)).astype(jnp.float32),
+        "sub: incidence")
+    chain_scalar(lambda m, s: keyframe_ops.keyframe_redundancy(
+        m._replace(pt_pos=m.pt_pos + s)).sum(),
+        "sub: keyframe_redundancy")
+    chain_scalar(lambda m, s: ms.refresh_point_stats(
+        m._replace(pt_pos=m.pt_pos + s)).pt_normal.sum(),
+        "sub: refresh_point_stats")
+    chain_scalar(lambda m, s: keyframe_ops.cull_points(
+        m._replace(pt_pos=m.pt_pos + s), jnp.asarray(6)).pt_valid.sum().astype(jnp.float32),
+        "sub: cull_points")
+    chain_scalar(lambda m, s: ms.erase_keyframe(
+        m._replace(pt_pos=m.pt_pos + s), jnp.asarray(2)).pt_pos.sum(),
+        "sub: erase_keyframe")
+
     # NOTE: insert_keyframe_fused donates the map arg — copy per run.
     for name, kw in variants:
         m0 = jax.tree.map(lambda a: a + 0 if hasattr(a, "dtype") else a, system.map)
