@@ -83,10 +83,56 @@ def verify_candidate(
     sres = sim3_solver.solve_sim3_ransac(
         cam, x1, x2, uv1, uv2, s1, s2, good, key, min_inliers=20
     )
-    return LoopMatch(ok=sres.ok, S12=sres.S12, n_inliers=sres.n_inliers)
+
+    # --- Sim3-guided re-match (ref ORBmatcher::SearchBySim3, cc:1841-2079):
+    # project each side's map points into the other keyframe through the
+    # RANSAC Sim3 and window-match descriptors, recovering correspondences the
+    # BoW node gate missed. Both-direction projection agreement replaces the
+    # reference's two sequential passes + agreement check.
+    S12, S21 = sres.S12, s3.inverse(sres.S12)
+    x2_all = se3.transform_point(m.kf_pose[cand_kf], m.pt_pos[
+        jnp.maximum(m.kf_obs_point[cand_kf], 0)
+    ])                                                    # (N,3) cand-cam
+    uv2_all = m.kf_kp_uv[cand_kf]
+    # cand points into query image / query points into cand image.
+    p_q = sim3_solver._project(cam, s3.transform_point(S12[None], x2_all))  # (N,2)
+    p_c = sim3_solver._project(cam, s3.transform_point(S21[None], x1))     # (N,2)
+    sig1 = jnp.sqrt(s1)
+    sig2 = jnp.sqrt(sigma2[m.kf_kp_octave[cand_kf]])
+    r_th = 7.5  # ref SearchBySim3 th=7.5 × octave scale
+    d_a = jnp.sum((uv1[:, None, :] - p_q[None, :, :]) ** 2, axis=-1)  # (Nq,Nc)
+    d_b = jnp.sum((p_c[:, None, :] - uv2_all[None, :, :]) ** 2, axis=-1)
+    guided = (
+        (d_a < (r_th * sig2[None, :]) ** 2)
+        & (d_b < (r_th * sig1[:, None]) ** 2)
+        & has1[:, None] & has2[None, :]
+    )
+    res_g = matching.match(
+        m.kf_kp_desc[query_kf], m.kf_kp_desc[cand_kf], guided,
+        max_dist=matching.TH_HIGH, mutual=True,
+    )
+    # Union: keep the RANSAC inlier set, add guided matches on free slots.
+    add = res_g.matched & has1 & ~sres.inliers
+    idx_u = jnp.where(add, res_g.idx, res.idx)
+    valid_u = sres.inliers | add
+    p2_u = jnp.maximum(m.kf_obs_point[cand_kf][idx_u], 0)
+    valid_u = valid_u & m.pt_valid[p2_u] & m.pt_valid[p1_ids]
+    x2_u = se3.transform_point(m.kf_pose[cand_kf], m.pt_pos[p2_u])
+    uv2_u = m.kf_kp_uv[cand_kf][idx_u]
+    s2_u = sigma2[m.kf_kp_octave[cand_kf][idx_u]]
+
+    # --- OptimizeSim3 refine, accept at ≥20 post-refine inliers (ref
+    # LoopClosing::ComputeSim3, cc:240-411 + Optimizer::OptimizeSim3).
+    S_ref, inl_ref = sim3_solver.optimize_sim3(
+        cam, S12, x1, x2_u, uv1, uv2_u, s1, s2_u, valid_u, n_iters=10
+    )
+    n_ref = jnp.sum(inl_ref.astype(jnp.int32))
+    ok = sres.ok & (n_ref >= 20)
+    S_final = jnp.where(ok, S_ref, S12)
+    return LoopMatch(ok=ok, S12=S_final, n_inliers=n_ref)
 
 
-@partial(jax.jit, static_argnames=("n_iters",))
+@partial(jax.jit, static_argnames=("cam", "n_iters", "n_fuse_targets", "n_fuse_sources", "scale", "n_levels"))
 def correct_loop(
     m: ms.MapState,
     query_kf: jnp.ndarray,
@@ -94,10 +140,18 @@ def correct_loop(
     S_query_loop: jnp.ndarray,   # Sim3 mapping loop-KF camera coords → query-KF camera coords
     covis: jnp.ndarray,
     n_iters: int = 20,
+    cam: CameraModel | None = None,
+    n_fuse_targets: int = 4,
+    n_fuse_sources: int = 2,
+    scale: float = 1.2,
+    n_levels: int = 8,
 ) -> ms.MapState:
     """CorrectLoop (ref LoopClosing.cc:412-571): compute the corrected Sim3
     for the query keyframe, run the essential-graph optimization with the new
-    loop edge, and re-anchor map points via their reference keyframes."""
+    loop edge, re-anchor map points via their reference keyframes, then
+    SearchAndFuse (cc:572-618): project the loop side's map points into the
+    query's covisible group and merge duplicates (needs `cam`; skipped when
+    None for backward compatibility in unit fixtures)."""
     K = m.kf_capacity
 
     # Current S_cw estimates (unit scale).
@@ -149,7 +203,33 @@ def correct_loop(
     # Write back keyframe SE3 poses (scale folded into translation).
     new_kf_pose = s3.to_se3(S_opt)
     new_kf_pose = jnp.where(m.kf_valid[:, None], new_kf_pose, m.kf_pose)
-    return m._replace(kf_pose=new_kf_pose, pt_pos=new_pos)
+    m = m._replace(kf_pose=new_kf_pose, pt_pos=new_pos)
+    if cam is None:
+        return m
+
+    # --- SearchAndFuse (ref LoopClosing.cc:572-618): with all poses now in
+    # the corrected frame, project the loop side's points (loop KF + its top
+    # covisible neighbors) into the query's covisible group keyframes and
+    # merge duplicate landmarks via the standard fuse kernel.
+    from gf_orb_slam_tpu.mapping import keyframe_ops
+
+    N = m.kp_capacity
+    src_w, src_ids = jax.lax.top_k(covis[loop_kf], n_fuse_sources)
+    src_ids = jnp.concatenate([loop_kf[None], src_ids])          # (S+1,)
+    src_ok = jnp.concatenate([jnp.ones(1, bool), src_w >= 15])
+    cand = m.kf_obs_point[src_ids].reshape(-1)
+    cand_use = (cand >= 0) & jnp.repeat(src_ok, N)
+
+    tgt_w, tgt_ids = jax.lax.top_k(covis[query_kf], n_fuse_targets)
+    tgt_ids = jnp.concatenate([query_kf[None], tgt_ids])
+    tgt_ok = jnp.concatenate([jnp.ones(1, bool), tgt_w >= 15])
+    for i in range(n_fuse_targets + 1):
+        m = keyframe_ops.fuse_into_keyframe(
+            cam, m, tgt_ids[i], jnp.maximum(cand, 0), cand_use & tgt_ok[i],
+            scale=scale, n_levels=n_levels,
+        )
+    m = ms.refresh_point_stats(m, scale=scale, n_levels=n_levels, update_desc=False)
+    return m
 
 
 class LoopDetector:

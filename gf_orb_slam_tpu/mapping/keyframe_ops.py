@@ -197,6 +197,15 @@ def fuse_into_keyframe(
     pts = m.pt_pos[cand_points]
     ok = cand_use & m.pt_valid[cand_points]
 
+    # Skip candidates the target already observes (ref ORBmatcher::Fuse's
+    # IsInKeyFrame skip, cc:1600) — fusing a point with itself via a second
+    # keypoint slot would duplicate the observation within one keyframe.
+    obs_t = m.kf_obs_point[target_kf]
+    in_target = jnp.zeros((m.pt_capacity,), bool).at[
+        jnp.maximum(obs_t, 0)
+    ].max(obs_t >= 0)
+    ok = ok & ~in_target[cand_points]
+
     xc = se3.transform_point(pose, pts)
     uvp, depth, front = project(cam, xc)
     # Scale/viewing gates as in Fuse: distance within [min,max], normal cos>0.5.
@@ -262,7 +271,20 @@ def fuse_into_keyframe(
     killed = jnp.zeros(m.pt_capacity, bool).at[jnp.where(dup, old_id, m.pt_capacity)].set(
         True, mode="drop"
     )
-    m = m._replace(kf_obs_point=obs, pt_valid=m.pt_valid & ~killed)
+    # Merge visible/found counters into the survivor (ref MapPoint::Replace,
+    # MapPoint.cc — IncreaseVisible/IncreaseFound carried over).
+    add_vis = jnp.zeros(m.pt_capacity, jnp.int32).at[
+        jnp.where(dup, new_id, m.pt_capacity)
+    ].add(jnp.where(dup, m.pt_visible[jnp.maximum(old_id, 0)], 0), mode="drop")
+    add_fnd = jnp.zeros(m.pt_capacity, jnp.int32).at[
+        jnp.where(dup, new_id, m.pt_capacity)
+    ].add(jnp.where(dup, m.pt_found[jnp.maximum(old_id, 0)], 0), mode="drop")
+    m = m._replace(
+        kf_obs_point=obs,
+        pt_valid=m.pt_valid & ~killed,
+        pt_visible=m.pt_visible + add_vis,
+        pt_found=m.pt_found + add_fnd,
+    )
     return m
 
 
@@ -325,18 +347,29 @@ def distinctive_descriptors(m: ms.MapState, max_obs: int = 8) -> ms.MapState:
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
-def keyframe_redundancy(m: ms.MapState) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("n_levels",))
+def keyframe_redundancy(m: ms.MapState, n_levels: int = 8) -> jnp.ndarray:
     """(K,) float — fraction of each keyframe's tracked points that are seen
-    by ≥3 other keyframes at the same-or-finer scale (approximated without the
-    scale condition: ≥4 total observations)."""
-    A = ms.incidence(m)
-    n_obs = jnp.sum(A.astype(jnp.int32), axis=0)  # (P,)
-    redundant_pt = n_obs >= 4
+    by ≥3 OTHER keyframes at the same-or-finer scale (ref LocalMapping::
+    KeyFrameCulling, cc:562-618: observers with scaleLevel ≤ this observation's
+    scaleLevel + 1 count; thObs = 3). One flat scatter-add builds the
+    per-point octave histogram; a cumulative sum answers every (keyframe,
+    observation) redundancy query by gather."""
+    K, N = m.kf_obs_point.shape
+    P = m.pt_capacity
     obs = m.kf_obs_point
-    has = obs >= 0
-    red = jnp.where(has, redundant_pt[jnp.maximum(obs, 0)], False)
-    n_has = jnp.sum(has, axis=1)
+    ok = (obs >= 0) & m.kf_valid[:, None] & m.pt_valid[jnp.maximum(obs, 0)]
+    oct_ = jnp.clip(m.kf_kp_octave, 0, n_levels - 1)
+    flat = jnp.where(ok, obs * n_levels + oct_, P * n_levels)
+    cnt = jnp.zeros((P * n_levels,), jnp.int32).at[flat.reshape(-1)].add(
+        1, mode="drop"
+    )
+    cum = jnp.cumsum(cnt.reshape(P, n_levels), axis=1)   # observers at octave ≤ o
+    oct_p1 = jnp.minimum(oct_ + 1, n_levels - 1)
+    # Subtract self: this keyframe's own observation is at octave ≤ octave+1.
+    n_other = cum[jnp.maximum(obs, 0), oct_p1] - 1
+    red = ok & (n_other >= 3)
+    n_has = jnp.sum(ok, axis=1)
     return jnp.where(
         m.kf_valid & (n_has > 0),
         jnp.sum(red, axis=1) / jnp.maximum(n_has, 1),

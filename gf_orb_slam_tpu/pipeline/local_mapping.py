@@ -35,7 +35,7 @@ class InsertResult(NamedTuple):
     jax.jit,
     static_argnames=(
         "cam", "scale", "n_levels", "ba_window", "ba_fixed", "n_tri_neighbors",
-        "ba_points", "ba_iters",
+        "ba_points", "ba_iters", "n_fuse_neighbors",
     ),
     donate_argnums=(1,),
 )
@@ -58,6 +58,7 @@ def insert_keyframe_fused(
     n_tri_neighbors: int = 2,
     ba_points: int = 4096,
     ba_iters: tuple = (5, 10),
+    n_fuse_neighbors: int = 4,
 ) -> InsertResult:
     """Insert + run the whole local-mapping pipeline. kp_* arrays must already
     be padded to the map's keypoint capacity."""
@@ -82,6 +83,29 @@ def insert_keyframe_fused(
         )
 
     m = keyframe_ops.cull_points(m, kf_id)
+
+    # --- SearchInNeighbors: fuse duplicate points both directions (ref
+    # LocalMapping.cc:411-560 + ORBmatcher::Fuse cc:1590-1709). Direction 1:
+    # the top covisible neighbors' points projected into the new keyframe;
+    # direction 2: the new keyframe's points projected into each neighbor.
+    # Neighbors below the covisibility floor participate with an all-False
+    # candidate mask, which makes the fuse call an identity transform.
+    N = m.kp_capacity
+    w_fuse = ms.covisibility_row(m, kf_id)
+    fw, fuse_ids = jax.lax.top_k(w_fuse, n_fuse_neighbors)
+    fuse_ok = fw >= 10
+    cand1 = m.kf_obs_point[fuse_ids].reshape(-1)               # (F·N,)
+    use1 = (cand1 >= 0) & jnp.repeat(fuse_ok, N)
+    m = keyframe_ops.fuse_into_keyframe(
+        cam, m, kf_id, jnp.maximum(cand1, 0), use1, scale=scale, n_levels=n_levels
+    )
+    for i in range(n_fuse_neighbors):
+        cand2 = m.kf_obs_point[kf_id]
+        use2 = (cand2 >= 0) & fuse_ok[i]
+        m = keyframe_ops.fuse_into_keyframe(
+            cam, m, fuse_ids[i], jnp.maximum(cand2, 0), use2,
+            scale=scale, n_levels=n_levels,
+        )
 
     # --- local BA over the top covisibility window (fixed shapes) ---
     w_row2 = ms.covisibility_row(m, kf_id).at[kf_id].set(jnp.int32(1 << 30))  # self always in window
@@ -181,7 +205,7 @@ def insert_keyframe_fused(
     m = ms.refresh_point_stats(m, scale=scale, n_levels=n_levels, update_desc=False)
 
     # --- keyframe culling: one most-redundant candidate per insertion ---
-    red = keyframe_ops.keyframe_redundancy(m)
+    red = keyframe_ops.keyframe_redundancy(m, n_levels=n_levels)
     protect = (
         (jnp.arange(m.kf_capacity) <= 1) | (jnp.arange(m.kf_capacity) == kf_id)
     )

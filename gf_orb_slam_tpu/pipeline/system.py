@@ -554,7 +554,8 @@ class SlamSystem:
             if not bool(lm.ok):
                 continue
             self.map = loop_closing.correct_loop(
-                m, jnp.asarray(kf_int), jnp.asarray(c), lm.S12, covis
+                m, jnp.asarray(kf_int), jnp.asarray(c), lm.S12, covis,
+                cam=self.cam, scale=self.cfg.scale, n_levels=self.cfg.n_levels,
             )
             self.n_loops_closed += 1
             self.loop_detector.reset()

@@ -359,15 +359,19 @@ def track_frame_fused(
         cam, m, frame, pose_pred, last_obs, last_uv,
         scale=scale, n_levels=n_levels, radius=15.0,
     )
+
     # Fallback: widened search from the last pose (ref TrackPreviousFrame).
-    r1b = track_with_motion_model(
-        cam, m, frame, last_pose, last_obs, last_uv,
-        scale=scale, n_levels=n_levels, radius=40.0,
-    )
-    use_b = ~r1.ok & r1b.ok
-    pose1 = jnp.where(use_b, r1b.pose, r1.pose)
-    obs1 = jnp.where(use_b, r1b.obs_point, r1.obs_point)
-    ok1 = r1.ok | r1b.ok
+    # The reference widens only under loss alert (Tracking.cc:1534-1555);
+    # lax.cond executes one branch at runtime, so a healthy frame never pays
+    # for the radius-40 matcher + LM solve.
+    def _wide_retry(_):
+        return track_with_motion_model(
+            cam, m, frame, last_pose, last_obs, last_uv,
+            scale=scale, n_levels=n_levels, radius=40.0,
+        )
+
+    r = jax.lax.cond(r1.ok, lambda _: r1, _wide_retry, operand=None)
+    pose1, obs1, ok1 = r.pose, r.obs_point, r.ok
 
     from gf_orb_slam_tpu.geometry import pwls
 

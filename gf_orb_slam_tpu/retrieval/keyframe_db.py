@@ -79,7 +79,10 @@ def detect_loop_candidates(
     K = db.bow.shape[0]
     v = db.bow[query_kf]
     scores = vocab_mod.l1_score(v[None, :], db.bow)          # (K,)
-    connected = covis[query_kf] > 0
+    # The reference excludes only covisibility-GRAPH neighbors (edges require
+    # ≥15 shared points, KeyFrame.cc:372-383); a stray shared point or two
+    # must not disqualify a genuine loop candidate.
+    connected = covis[query_kf] >= 15
     is_self = jnp.arange(K) == query_kf
 
     # minScore over covisible neighbors (ref: loop candidates must beat the

@@ -108,22 +108,23 @@ def _lm_step(cam: CameraModel, prob: BAProblem, active, lam):
     W_edge = jnp.einsum("cnri,cn,cnrj->cnij", Jpose, w, Jpt)
     W_edge = jnp.where(prob.fixed[:, None, None, None], 0.0, W_edge)
 
-    # One per-camera incidence matmul reduces V, g_p and T at once:
-    # onehot_c (N, P) one-hot of each edge's point id; payload (N, 30) packs
-    # [Vscat (9) | g_p (3) | W_edge (18)].
+    # One flat 1-D scatter-add reduces V, g_p and T at once: each edge's
+    # payload (30 floats: [Vscat (9) | g_p (3) | W_edge (18)]) lands at row
+    # p·C + c of a (P·C, 30) table. (camera, point) pairs are unique (at most
+    # one observation per pair, see module docstring), so the scatter is
+    # contention-free; this replaces a per-camera (N, P)-one-hot matmul loop
+    # that cost C dense passes over the full point table.
     payload = jnp.concatenate(
         [Vscat.reshape(C, N, 9), gp_scat, W_edge.reshape(C, N, 18)], axis=-1
     )  # (C, N, 30)
-    pt_iota = jax.lax.broadcasted_iota(jnp.int32, (N, P), 1)
-
-    def reduce_cam(c):
-        onehot = ((lp[c][:, None] == pt_iota) & ok[c][:, None]).astype(payload.dtype)
-        return onehot.T @ payload[c]  # (P, 30)
-
-    M = jnp.stack([reduce_cam(c) for c in range(C)])  # (C, P, 30)
-    V = jnp.sum(M[:, :, :9], axis=0).reshape(P, 3, 3)
-    g_p = jnp.sum(M[:, :, 9:12], axis=0)
-    T = jnp.moveaxis(M[:, :, 12:30].reshape(C, P, 6, 3), 0, 1)  # (P, C, 6, 3)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (C, N), 0)
+    flat = jnp.where(ok, lp * C + c_iota, P * C)
+    M = jnp.zeros((P * C, 30), payload.dtype).at[flat.reshape(-1)].add(
+        payload.reshape(-1, 30), mode="drop"
+    ).reshape(P, C, 30)
+    V = jnp.sum(M[:, :, :9], axis=1).reshape(P, 3, 3)
+    g_p = jnp.sum(M[:, :, 9:12], axis=1)
+    T = M[:, :, 12:30].reshape(P, C, 6, 3)
 
     # Damping (Levenberg: scale diagonals).
     U_d = U + lam * jnp.eye(6)[None] * jnp.maximum(

@@ -105,8 +105,21 @@ class TestMapState:
     def test_keyframe_redundancy(self):
         m = small_map(n_kf=5)
         red = np.asarray(keyframe_ops.keyframe_redundancy(m))
-        # every point has 5 obs ≥ 4 → all KFs fully redundant
+        # every point has 5 obs (≥3 others at equal octave) → fully redundant
         assert (red[:5] > 0.89).all()
+
+    def test_keyframe_redundancy_octave_rule(self):
+        """Only same-or-finer-scale observers count (ref LocalMapping::
+        KeyFrameCulling cc:562-618: scaleLeveli <= scaleLevel + 1)."""
+        m = small_map(n_kf=5)
+        # KF0 observes everything at octave 0; the other four at octave 3.
+        oct_ = m.kf_kp_octave.at[1:5].set(3)
+        m = m._replace(kf_kp_octave=oct_)
+        red = np.asarray(keyframe_ops.keyframe_redundancy(m))
+        # KF0: other observers are all at octave 3 > 0+1 → not redundant.
+        assert red[0] < 0.01
+        # KF1..4: ≥3 others at octave ≤ 3+1 (three octave-3 peers) → redundant.
+        assert (red[1:5] > 0.89).all()
 
 
 class TestTriangulateBetween:
