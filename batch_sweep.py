@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--out-dir", default="results")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--pipeline", type=int, default=0)
+    ap.add_argument("--scene", choices=["planes", "room"], default="planes")
     args = ap.parse_args()
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -49,7 +50,7 @@ def main():
                 if args.pipeline:
                     argv += ["--pipeline", str(args.pipeline)]
                 if path is None:
-                    argv += ["--synthetic", str(args.synthetic)]
+                    argv += ["--synthetic", str(args.synthetic), "--scene", args.scene]
                 else:
                     argv += ["--seq", path]
                 print(f"=== {name} budget={budget} round={rnd} ===", file=sys.stderr)

@@ -40,8 +40,13 @@ def main():
         img.block_until_ready()
         frames.append(img)
 
+    # PRIMARY metric: the shipped Good-Feature configuration (GF selection ON
+    # at the reference's default budget — the system's namesake feature;
+    # ref batch_script/Run_EuRoC.py budgets, README.md:14). GF-off plain
+    # ORB-SLAM throughput is reported as a secondary line in detail.
     cfg = SlamConfig(
-        n_features=800, max_frames_between_kf=10, use_gf=False,
+        n_features=800, max_frames_between_kf=10,
+        use_gf=True, gf_budget=100, gf_warmup_frames=10,
         pipelined=True, pipeline_depth=6,
     )
 
@@ -50,10 +55,20 @@ def main():
     # metric claims. Each pass gets a fresh system (feeding frames out of
     # order into one system breaks pose continuity); the process-wide jit
     # cache makes the second pass's warmup cheap.
+    from gf_orb_slam_tpu.retrieval import vocabulary as voc_mod
+
+    voc = voc_mod.load_default_vocabulary()
+
+    def make_system(c):
+        s = SlamSystem(cam, c)
+        if voc is not None:
+            s.set_vocabulary(voc)  # packaged pretrained tree (ref ORBvoc)
+        return s
+
     measured = n_frames - warmup_frames
     pass_fps = []
     for _ in range(2):
-        system = SlamSystem(cam, cfg)
+        system = make_system(cfg)
         # Warmup: initialization + first compiles, including the
         # loop-detection program that otherwise first compiles mid-sequence
         # (once n_kf crosses loop_min_kf_gap) and would bill ~seconds of XLA
@@ -75,6 +90,19 @@ def main():
     )
     fps = max(pass_fps)
 
+    # Secondary line: plain ORB-SLAM path (GF off), one pass.
+    system_off = make_system(cfg.__class__(**{**cfg.__dict__, "use_gf": False}))
+    for i in range(warmup_frames):
+        system_off.process(frames[i], float(ts[i]))
+    system_off.flush()
+    system_off.warmup_compile()
+    t0 = time.perf_counter()
+    for i in range(warmup_frames, n_frames):
+        system_off.process(frames[i], float(ts[i]))
+    system_off.flush()
+    jax.block_until_ready(system_off.map.kf_pose)
+    fps_gf_off = measured / (time.perf_counter() - t0)
+
     # Device-only throughput: chain 20 fused tracking dispatches (each
     # consuming the previous pose) with a single final fetch — measures the
     # chip's steady-state capability with host round-trips fully amortized
@@ -93,6 +121,8 @@ def main():
             system.cam, system.orb_cfg, system.map, system.track_view,
             frames[-1] + np.float32(i % 3),
             pose, obs, uv, vel, jnp.asarray(0.05, jnp.float32), key,
+            use_gf=cfg.use_gf, gf_budget=cfg.gf_budget, gf_mode=cfg.gf_mode,
+            gf_batch=cfg.gf_batch,
         )
     r = one(0, pose, obs, uv, vel)
     float(r.n_inliers)  # warm & sync
@@ -113,6 +143,8 @@ def main():
                 "detail": {
                     "frames_measured": measured,
                     "frames_tracked": n_tracked,
+                    "gf": {"on": True, "budget": cfg.gf_budget, "mode": cfg.gf_mode},
+                    "gf_off_fps": round(fps_gf_off, 2),
                     "n_features": 800,
                     "map_points": int(system.map.pt_valid.sum()),
                     "keyframes": system.n_kf,

@@ -289,59 +289,12 @@ def fuse_into_keyframe(
 
 
 # ---------------------------------------------------------------------------
-# Distinctive descriptors (ref MapPoint::ComputeDistinctiveDescriptors)
-# ---------------------------------------------------------------------------
-
-
-@partial(jax.jit, static_argnames=("max_obs",))
-def distinctive_descriptors(m: ms.MapState, max_obs: int = 8) -> ms.MapState:
-    """For each point, among up to max_obs observing keyframes' descriptors,
-    pick the one minimizing the summed Hamming distance to the rest."""
-    K, N = m.kf_obs_point.shape
-    P = m.pt_capacity
-
-    # Collect up to max_obs (kf, slot) observations per point via ranked codes.
-    k_idx = jax.lax.broadcasted_iota(jnp.int32, (K, N), 0)
-    i_idx = jax.lax.broadcasted_iota(jnp.int32, (K, N), 1)
-    obs_ok = (m.kf_obs_point >= 0) & m.kf_valid[:, None] & m.kf_kp_valid
-    pt_of = jnp.where(obs_ok, m.kf_obs_point, P)
-
-    # For ranking: per point, take the max_obs smallest codes via iterative
-    # scatter-min (max_obs passes) — static, cheap for small max_obs.
-    code = k_idx * N + i_idx
-    BIG = jnp.int32(K * N)
-    flat_code = jnp.where(obs_ok, code, BIG).reshape(-1)
-    flat_pt = pt_of.reshape(-1)
-
-    taken = jnp.zeros_like(flat_code, dtype=bool)
-    descs = []
-    have = []
-    for _ in range(max_obs):
-        cand_code = jnp.where(taken, BIG, flat_code)
-        min_code = jnp.full((P,), BIG, jnp.int32).at[flat_pt].min(cand_code, mode="drop")
-        got = min_code < BIG
-        mc = jnp.minimum(min_code, BIG - 1)
-        kf_i, sl_i = mc // N, mc % N
-        descs.append(m.kf_kp_desc[kf_i, sl_i])      # (P, 8)
-        have.append(got)
-        taken = taken | (cand_code == min_code[flat_pt])
-
-    D = jnp.stack(descs, axis=1)       # (P, max_obs, 8)
-    Hv = jnp.stack(have, axis=1)       # (P, max_obs)
-
-    x = jnp.bitwise_xor(D[:, :, None, :], D[:, None, :, :])
-    dmat = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
-    dmat = jnp.where(Hv[:, :, None] & Hv[:, None, :], dmat, 0)
-    sums = jnp.sum(dmat, axis=2)                       # (P, max_obs)
-    sums = jnp.where(Hv, sums, jnp.int32(1 << 30))
-    best = jnp.argmin(sums, axis=1)
-    new_desc = jnp.take_along_axis(D, best[:, None, None], axis=1)[:, 0]
-    has_any = Hv.any(axis=1)
-    return m._replace(
-        pt_desc=jnp.where(has_any[:, None], new_desc, m.pt_desc)
-    )
-
-
+# Distinctive descriptors (ref MapPoint::ComputeDistinctiveDescriptors) are
+# maintained window-locally inside the fused insertion program
+# (pipeline/local_mapping.py) — one scatter + medoid popcount over the BA
+# window, where all fresh observations live. A full-map min-sum pass was
+# measured at ~40 ms (8 serial scatter-min passes over K·N) for no accuracy
+# gain over the windowed medoid, so it is deliberately not provided.
 # ---------------------------------------------------------------------------
 # Keyframe culling (ref LocalMapping::KeyFrameCulling, cc:562-618)
 # ---------------------------------------------------------------------------

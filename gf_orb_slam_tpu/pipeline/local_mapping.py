@@ -55,7 +55,7 @@ def insert_keyframe_fused(
     n_levels: int = 8,
     ba_window: int = 8,
     ba_fixed: int = 2,
-    n_tri_neighbors: int = 2,
+    n_tri_neighbors: int = 3,
     ba_points: int = 4096,
     ba_iters: tuple = (5, 10),
     n_fuse_neighbors: int = 4,
@@ -67,9 +67,30 @@ def insert_keyframe_fused(
         kp_valid, obs_point,
     )
 
-    # Covisibility + triangulation neighbors (top-n by shared points, ≥10).
+    # Covisibility + triangulation neighbors: top-n by shared points (≥10)
+    # among keyframes with a usable stereo baseline. The reference skips
+    # neighbors with baseline < 1% of median scene depth
+    # (LocalMapping.cc:262-276); bursts of keyframes inserted a frame apart
+    # are nearly co-located, so without this gate the top-covisibility
+    # neighbor often has sub-degree parallax and triangulation yields nothing.
     w_row = ms.covisibility_row(m, kf_id)
-    top_w, top_ids = jax.lax.top_k(w_row, n_tri_neighbors)
+    from gf_orb_slam_tpu.geometry import se3 as se3m
+
+    centers = se3m.pose_t(se3m.inverse(m.kf_pose))           # (K, 3)
+    baseline = jnp.linalg.norm(centers - centers[kf_id], axis=-1)
+    obs_new = m.kf_obs_point[kf_id]
+    has_new = obs_new >= 0
+    depth_ref = jnp.sum(
+        jnp.where(
+            has_new,
+            jnp.linalg.norm(
+                m.pt_pos[jnp.maximum(obs_new, 0)] - centers[kf_id], axis=-1
+            ),
+            0.0,
+        )
+    ) / jnp.maximum(jnp.sum(has_new), 1)
+    w_eff = jnp.where(baseline > 0.02 * depth_ref, w_row, 0)
+    top_w, top_ids = jax.lax.top_k(w_eff, n_tri_neighbors)
     for i in range(n_tri_neighbors):
         nb = top_ids[i]
         do = top_w[i] >= 10
@@ -205,9 +226,15 @@ def insert_keyframe_fused(
     m = ms.refresh_point_stats(m, scale=scale, n_levels=n_levels, update_desc=False)
 
     # --- keyframe culling: one most-redundant candidate per insertion ---
+    # The newest keyframes are protected: in slow sweeps every fresh keyframe
+    # is instantly "redundant" (its tracked points are all re-observations),
+    # but culling it starves triangulation of recent baselines and the map
+    # stops growing into newly-seen territory (the reference avoids this
+    # implicitly — culling lags insertion by the LocalMapping queue).
     red = keyframe_ops.keyframe_redundancy(m, n_levels=n_levels)
     protect = (
-        (jnp.arange(m.kf_capacity) <= 1) | (jnp.arange(m.kf_capacity) == kf_id)
+        (jnp.arange(m.kf_capacity) <= 1)
+        | (jnp.arange(m.kf_capacity) >= kf_id - 2)
     )
     red = jnp.where(protect, 0.0, red)
     worst = jnp.argmax(red).astype(jnp.int32)

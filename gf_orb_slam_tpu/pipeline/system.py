@@ -60,7 +60,7 @@ class SlamConfig:
     ba_fixed: int = 2               # fixed boundary cameras in the window
     ba_points: int = 4096           # compacted local-point capacity for BA
     min_init_matches: int = 80
-    triangulate_neighbors: int = 2
+    triangulate_neighbors: int = 3
     # place recognition / loop closing
     enable_loop_closing: bool = True
     enable_relocalization: bool = True
@@ -626,8 +626,13 @@ class SlamSystem:
             )
             if cfg.enable_loop_closing and self.n_kf > cfg.loop_min_kf_gap:
                 covis = ms.covisibility(self.map)
+                # A keyframe culled inside this same insertion program is
+                # already tombstoned in the map (covis row zero) but still
+                # valid in the BoW DB until finalize — exclude it here or it
+                # pollutes candidate group scoring.
                 cand, ok = kdb.detect_loop_candidates(
-                    self.bow_db, covis, res.kf_id, max_candidates=6
+                    self.bow_db, covis, res.kf_id, max_candidates=6,
+                    exclude_kf=res.culled_kf,
                 )
                 pending.update(covis=covis, cand=cand, ok=ok)
         for a in pending.values():

@@ -150,11 +150,15 @@ def track_local_map(
     use_gf: bool = False,
     gf_mode: str = "subset",
     gf_batch: int = 1,
+    dt: jnp.ndarray | float = 0.05,
 ) -> LocalMapTrackResult:
     """ref Tracking::TrackLocalMap (cc:2732-2830) + SearchReferencePointsInFrustum
     (cc:3149-3360), over the compact per-keyframe TrackView: frustum-filter the
     ~4k candidates, optionally restrict by Max-logDet GF selection (subset or
     active mode), match by projection, optimize the pose.
+
+    `dt` is the PWLS segment duration, used only by gf_mode="hybrid" for the
+    [H; H·F] 13×13 stacking (ref Observability.cc:236-245).
     """
     N = frame.capacity
     P = m.pt_capacity
@@ -184,6 +188,8 @@ def track_local_map(
 
     # --- optional budgeted selection over the visible candidates ---
     # gf_mode: "subset"   Max-logDet lazier-greedy, then match the subset
+    #          "hybrid"   same, over 13×13 [H; H·F] two-segment PWLS blocks
+    #                     (ref Observability.cc:236-245 hybrid matrices)
     #          "auto"     same, but the budget is discovered from the marginal
     #                     gain floor (ref maxVolAutomatic_*); gf_budget caps it
     #          "active"   select-then-match by marginal logDet gain
@@ -191,12 +197,17 @@ def track_local_map(
     #                     RANDOM_MAP_MATCHING baseline, Observability.cc:1819)
     #          "longlive" budget oldest-first by first observing keyframe (ref
     #                     LONGLIVE_MAP_MATCHING baseline)
-    if use_gf and gf_mode in ("subset", "auto", "active"):
+    if use_gf and gf_mode in ("subset", "auto", "active", "hybrid"):
         jac = observability.measurement_jacobians(cam, Xv, pos_v)
-        blocks = observability.info_matrices(
-            observability.whiten(jac.H, jnp.ones((V,))), jac.visible & valid_v
-        )
-    if use_gf and gf_mode == "subset":
+        H_w = observability.whiten(jac.H, jnp.ones((V,)))
+        if gf_mode == "hybrid":
+            from gf_orb_slam_tpu.geometry import pwls
+
+            F = pwls.f_matrix(Xv, jnp.asarray(dt, pose.dtype))
+            blocks = observability.hybrid_matrices(H_w, F, jac.visible & valid_v)
+        else:
+            blocks = observability.info_matrices(H_w, jac.visible & valid_v)
+    if use_gf and gf_mode in ("subset", "hybrid"):
         sel = selection.lazier_greedy_maxlogdet(
             blocks, visible & jac.visible, k=gf_budget, key=gf_key,
             batch=gf_batch,
@@ -380,7 +391,7 @@ def track_frame_fused(
     r2 = track_local_map(
         cam, m, view, frame, pose1, obs1, Xv, key,
         scale=scale, n_levels=n_levels, gf_budget=gf_budget, use_gf=use_gf,
-        gf_mode=gf_mode, gf_batch=gf_batch,
+        gf_mode=gf_mode, gf_batch=gf_batch, dt=dt,
     )
     ok = ok1 & r2.ok
     new_velocity = se3.compose(r2.pose, se3.inverse(last_pose))

@@ -68,6 +68,8 @@ def detect_loop_candidates(
     covis: jnp.ndarray,        # (K, K) covisibility weights from MapState
     query_kf: jnp.ndarray,     # () int32
     max_candidates: int = 8,
+    exclude_kf: jnp.ndarray | int = -1,  # e.g. a keyframe culled this round
+                                         # whose BoW row is not yet tombstoned
 ):
     """ref KeyFrameDatabase::DetectLoopCandidates (cc:75-196):
     - minScore = worst BoW score between the query and its covisible KFs;
@@ -92,7 +94,10 @@ def detect_loop_candidates(
     min_score = jnp.where(has_covis, jnp.min(covis_scores), 0.1)
     min_score = jnp.maximum(min_score, 0.0)
 
-    eligible = db.valid & ~connected & ~is_self & (scores >= min_score)
+    eligible = (
+        db.valid & ~connected & ~is_self & (scores >= min_score)
+        & (jnp.arange(K) != exclude_kf)
+    )
 
     # Group score: candidate + its top-10 covisible neighbors' scores summed
     # over eligible-or-not neighbors that share enough covisibility.

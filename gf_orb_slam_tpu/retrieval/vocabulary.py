@@ -70,9 +70,9 @@ def _kmedians_binary(descs: np.ndarray, k: int, rng, iters: int = 8):
     centers = descs[idx].copy()
     bits = _unpack_bits(descs)
     for _ in range(iters):
-        # Hamming distances to centers.
+        # Hamming distances to centers (vectorized popcount; numpy ≥ 2).
         x = descs[:, None, :] ^ centers[None, :, :]
-        d = np.unpackbits(x.view(np.uint8).reshape(n, k, 32), axis=2).sum(axis=2)
+        d = np.bitwise_count(x).sum(axis=2, dtype=np.int32)
         assign = d.argmin(axis=1)
         for c in range(k):
             sel = bits[assign == c]
@@ -347,3 +347,19 @@ def load_vocabulary(path: str) -> Vocabulary:
     if path.endswith(".txt"):
         return load_dbow2_text(path)
     return load_binary(path)
+
+
+def default_vocabulary_path() -> str:
+    """The packaged pretrained vocabulary (trained by tools/train_vocabulary.py
+    — the rebuild's ORBvoc equivalent, ref main.cc:92-97)."""
+    import os
+
+    return os.path.join(os.path.dirname(__file__), "..", "data", "vocab_100k.npz")
+
+
+def load_default_vocabulary() -> Vocabulary | None:
+    """Load the packaged pretrained vocabulary if present, else None."""
+    import os
+
+    p = default_vocabulary_path()
+    return load_binary(p) if os.path.exists(p) else None

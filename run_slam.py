@@ -23,6 +23,10 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--seq", help="dataset sequence directory (EuRoC/TUM/NUIM)")
     ap.add_argument("--synthetic", type=int, default=0, help="run N synthetic frames instead")
+    ap.add_argument("--scene", choices=["planes", "room"], default="planes",
+                    help="synthetic scene: fronto-parallel plane sweep, or the "
+                         "4-wall room 360-degree circuit (radtan-distorted "
+                         "EuRoC camera, oblique geometry, loop closure)")
     ap.add_argument("--settings", help="OpenCV-style yaml settings file")
     ap.add_argument("--vocabulary",
                     help="pretrained BoW vocabulary (.txt DBoW2 text or .npz "
@@ -57,6 +61,11 @@ def main(argv=None):
         from gf_orb_slam_tpu.io_utils.settings import load_settings
 
         cam, cfg = load_settings(args.settings)
+    elif args.synthetic and args.scene == "room":
+        from gf_orb_slam_tpu.geometry.camera import EUROC_CAM
+
+        cam = EUROC_CAM  # radtan distortion exercised end-to-end
+        cfg = SlamConfig(max_frames_between_kf=6)
     else:
         cam = CameraModel(fx=458.0, fy=458.0, cx=376.0, cy=240.0,
                           width=752, height=480, fps=20.0)
@@ -72,10 +81,17 @@ def main(argv=None):
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     system = SlamSystem(cam, cfg)
-    if args.vocabulary:
-        from gf_orb_slam_tpu.retrieval import vocabulary as voc_mod
+    from gf_orb_slam_tpu.retrieval import vocabulary as voc_mod
 
+    if args.vocabulary:
         system.set_vocabulary(voc_mod.load_vocabulary(args.vocabulary))
+    else:
+        # Packaged pretrained tree by default (ref loads ORBvoc at startup,
+        # main.cc:92-97); falls back to on-the-fly training when absent.
+        voc = voc_mod.load_default_vocabulary()
+        if voc is not None:
+            print(f"using packaged vocabulary ({voc.n_words} words)", file=sys.stderr)
+            system.set_vocabulary(voc)
     if args.load_map:
         from gf_orb_slam_tpu.io_utils import snapshot
 
@@ -83,9 +99,18 @@ def main(argv=None):
 
     gt_positions = None
     if args.synthetic:
-        scene = synthetic.make_scene(seed=0)
-        ts, poses_gt = synthetic.trajectory(args.synthetic, fps=cam.fps)
-        frames = ((float(ts[i]), synthetic.render(scene, cam, jnp.asarray(poses_gt[i])))
+        if args.scene == "room":
+            scene = synthetic.make_room_scene(seed=0)
+            ts, poses_gt = synthetic.circuit_trajectory(
+                args.synthetic, fps=cam.fps, radius=4.0,
+                revs=max(args.synthetic / 400.0, 0.25),
+            )
+            render = synthetic.render_general
+        else:
+            scene = synthetic.make_scene(seed=0)
+            ts, poses_gt = synthetic.trajectory(args.synthetic, fps=cam.fps)
+            render = synthetic.render
+        frames = ((float(ts[i]), render(scene, cam, jnp.asarray(poses_gt[i])))
                   for i in range(args.synthetic))
         gt_by_t = {round(float(t), 6): np.asarray(
             se3.pose_t(se3.inverse(jnp.asarray(p)))) for t, p in zip(ts, poses_gt)}

@@ -194,6 +194,49 @@ class TestSelection:
         # multi-thread variant has the same property); bound the degradation.
         assert float(exact.logdet) - float(res.logdet) < 2.5
 
+    def test_hybrid_blocks_shape_and_quality(self, rng):
+        """13×13 [H; H·F] hybrid info blocks (ref Observability.cc:236-245,
+        gf_mode='hybrid'): PSD rank ≤ 4, and Max-logDet selection over them
+        keeps near-greedy CURRENT-pose quality while adding predicted-state
+        information."""
+        from gf_orb_slam_tpu.geometry import pwls
+
+        cam = camera.EUROC_CAM
+        Xv, pts = synth_state_and_points(rng, cam, n=200)
+        jac = observability.measurement_jacobians(cam, Xv, pts)
+        H_w = observability.whiten(jac.H, jnp.ones(200))
+        F = pwls.f_matrix(Xv, jnp.asarray(0.05))
+        hyb = observability.hybrid_matrices(H_w, F, jac.visible)
+        assert hyb.shape == (200, 13, 13)
+        B = np.asarray(hyb)
+        for i in range(5):
+            ev = np.linalg.eigvalsh(B[i])
+            assert ev.min() > -1e-4 * max(ev.max(), 1.0)
+            assert (ev > 1e-6 * max(ev.max(), 1)).sum() <= 4
+
+        k = 60
+        res_h = selection.lazier_greedy_maxlogdet(
+            hyb, jac.visible, k=k, key=jax.random.PRNGKey(3)
+        )
+        assert int(res_h.n_selected) == k
+        assert np.isfinite(float(res_h.logdet))
+        # The hybrid objective optimizes the stacked two-segment metric, not
+        # the 7×7 current-pose one (so it is NOT near 7×7-greedy); it must
+        # still clearly beat random subsets on BOTH metrics.
+        blocks7 = observability.info_matrices(H_w, jac.visible)
+        sel = np.asarray(res_h.selected)
+        M7 = selection.PRIOR_EPS * np.eye(7) + np.asarray(blocks7)[sel].sum(axis=0)
+        ld7_h = np.linalg.slogdet(M7)[1]
+        ld13_rand, ld7_rand = [], []
+        for s in range(10):
+            idx = rng.choice(np.nonzero(np.asarray(jac.visible))[0], k, replace=False)
+            M13 = selection.PRIOR_EPS * np.eye(13) + B[idx].sum(axis=0)
+            ld13_rand.append(np.linalg.slogdet(M13)[1])
+            Mr = selection.PRIOR_EPS * np.eye(7) + np.asarray(blocks7)[idx].sum(axis=0)
+            ld7_rand.append(np.linalg.slogdet(Mr)[1])
+        assert float(res_h.logdet) > max(ld13_rand), "hybrid loses on its own metric"
+        assert ld7_h > np.mean(ld7_rand), "hybrid subset weaker than random for pose"
+
     def test_selection_handles_few_candidates(self, rng):
         """k larger than the candidate pool: select everything, no NaNs
         (ref: 'subset limit higher than input lmk number' path)."""

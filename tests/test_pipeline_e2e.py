@@ -96,6 +96,67 @@ class TestEndToEnd:
             assert rmse < 0.12, f"{mode} ATE {rmse*100:.1f} cm too high"
 
 
+@pytest.mark.slow
+class TestLoopClosingLive:
+    def test_circuit_closes_loop_live(self):
+        """The canonical loop-closure scenario, fully live: a 360°+ circuit
+        inside the 4-wall room. The start view leaves the frustum for most of
+        the revolution (no covisibility chain back), so on return the tracker
+        maps duplicates and only the full detect (BoW + temporal consistency)
+        → verify (Sim3 RANSAC + guided rematch + optimize_sim3) → correct
+        (essential graph + SearchAndFuse) path can reconcile them. Asserts a
+        loop actually closes through SlamSystem, the closure does not degrade
+        keyframe accuracy, and the sequence finishes tracked."""
+        from gf_orb_slam_tpu.geometry.camera import EUROC_CAM
+
+        n_frames = 420
+        scene = synthetic.make_room_scene(seed=0)
+        ts, poses_gt = synthetic.circuit_trajectory(
+            n_frames, fps=20.0, radius=4.0, revs=1.05
+        )
+        cam = EUROC_CAM
+        system = SlamSystem(
+            cam, SlamConfig(n_features=600, max_frames_between_kf=6,
+                            loop_min_kf_gap=10)
+        )
+
+        def kf_ate(m):
+            kv = np.asarray(m.kf_valid)
+            fids = np.asarray(m.kf_frame_id)[kv]
+            est = np.stack([
+                np.asarray(se3.pose_t(se3.inverse(jnp.asarray(p))))
+                for p in np.asarray(m.kf_pose)[kv]
+            ])
+            gt = np.stack([
+                np.asarray(se3.pose_t(se3.inverse(jnp.asarray(poses_gt[f]))))
+                for f in fids
+            ])
+            return evaluation.ate_rmse(est, gt)
+
+        ate_events = []
+        orig = system._try_close_loop
+
+        def instrumented(kf_int, pending):
+            pre = kf_ate(system.map)
+            closed = orig(kf_int, pending)
+            if closed:
+                ate_events.append((pre, kf_ate(system.map)))
+            return closed
+
+        system._try_close_loop = instrumented
+        for i in range(n_frames):
+            img = synthetic.render_general(scene, cam, jnp.asarray(poses_gt[i]))
+            system.process(img, float(ts[i]))
+        system.flush()
+
+        est_ts, est_poses = system.get_trajectory()
+        assert len(est_poses) > 0.9 * n_frames, "tracking lost on the circuit"
+        assert system.n_loops_closed >= 1, "no loop closed through the live path"
+        pre, post = ate_events[0]
+        assert post < pre * 1.05, f"closure degraded keyframe ATE {pre}->{post}"
+        assert kf_ate(system.map) < 0.15
+
+
 class TestEvaluation:
     def test_umeyama_recovers_similarity(self, rng):
         src = rng.normal(size=(50, 3))

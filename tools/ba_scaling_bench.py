@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--obs-per-cam", type=int, default=512)
     ap.add_argument("--lm-iters", type=int, default=6)
     ap.add_argument("--pcg-iters", type=int, default=20)
+    ap.add_argument("--breakdown", action="store_true",
+                    help="also time the per-shard workload on a 1-device mesh "
+                         "(psum = identity) to split compute vs collective cost")
     args = ap.parse_args()
 
     if args.virtual:
@@ -86,10 +89,11 @@ def main():
     n_dev = len(jax.devices())
     sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev and C % d == 0]
     results = {}
-    for d in sizes:
-        mesh = global_ba.make_mesh(d)
+    compute_only = {}
+
+    def time_run(problem, mesh):
         run = lambda: global_ba.distributed_bundle_adjust(
-            cam, prob, mesh, n_lm_iters=args.lm_iters, n_pcg_iters=args.pcg_iters
+            cam, problem, mesh, n_lm_iters=args.lm_iters, n_pcg_iters=args.pcg_iters
         )
         out = run()
         jax.block_until_ready(out.poses)
@@ -98,8 +102,33 @@ def main():
         for _ in range(reps):
             out = run()
             jax.block_until_ready(out.poses)
-        dt = (time.perf_counter() - t0) / reps / args.lm_iters * 1e3
+        return (time.perf_counter() - t0) / reps / args.lm_iters * 1e3, out
+
+    mesh1 = global_ba.make_mesh(1)
+    for d in sizes:
+        mesh = global_ba.make_mesh(d)
+        dt, out = time_run(prob, mesh)
         results[d] = dt
+        if args.breakdown and d > 1:
+            # Compute-only ablation: the SAME per-shard workload (C/d cameras,
+            # full replicated point table) on a 1-device mesh, where every
+            # psum is the identity — isolates collective+partition cost.
+            sub = BAProblem(
+                poses=prob.poses[: C // d],
+                points=prob.points,
+                fixed=prob.fixed[: C // d],
+                point_valid=prob.point_valid,
+                obs_uv=prob.obs_uv[: C // d],
+                obs_point=prob.obs_point[: C // d],
+                obs_w=prob.obs_w[: C // d],
+            )
+            dt_c, _ = time_run(sub, mesh1)
+            compute_only[d] = dt_c
+            print(
+                f"devices={d:3d}  per-shard compute-only={dt_c:8.2f} ms/LM-iter  "
+                f"collective+partition={dt - dt_c:8.2f} ms ({(dt - dt_c) / dt:5.1%})",
+                flush=True,
+            )
         if args.virtual:
             # Virtual shards share ONE host's cores: aggregate compute is
             # fixed, so ideal is FLAT time and the meaningful number is the
