@@ -17,18 +17,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gf_orb_slam_tpu.geometry import pwls, se3
+from gf_orb_slam_tpu.geometry import se3
 from gf_orb_slam_tpu.geometry.camera import CameraModel
 from gf_orb_slam_tpu.loop import loop_closing
 from gf_orb_slam_tpu.mapping import frame as frame_mod
-from gf_orb_slam_tpu.mapping import keyframe_ops
 from gf_orb_slam_tpu.mapping import map_state as ms
 from gf_orb_slam_tpu.ops import matching, orb
 from gf_orb_slam_tpu.pipeline import track_view as tv
 from gf_orb_slam_tpu.pipeline import tracking
 from gf_orb_slam_tpu.retrieval import keyframe_db as kdb
 from gf_orb_slam_tpu.retrieval import vocabulary as voc_mod
-from gf_orb_slam_tpu.solvers import initializer, local_ba, pnp
+from gf_orb_slam_tpu.solvers import initializer, local_ba
 
 
 class State(enum.Enum):
@@ -458,51 +457,27 @@ class SlamSystem:
         v = voc_mod.bow_vector(self.voc, words)
         covis = ms.covisibility(m)
         cand, ok = kdb.detect_reloc_candidates(self.bow_db, covis, v, max_candidates=4)
-        cand = np.asarray(cand)[np.asarray(ok)]
-        for c in cand:
-            c = int(c)
-            has_pt = m.kf_kp_valid[c] & (m.kf_obs_point[c] >= 0)
-            kf_words = self.bow_db.words[c]
-            mask = kdb.bow_match_mask(words, kf_words, frame.valid, has_pt)
-            res = matching.match(
-                frame.desc, m.kf_kp_desc[c], mask, max_dist=matching.TH_LOW,
-                ratio=0.75, mutual=True,
-            )
-            pt_ids = jnp.maximum(m.kf_obs_point[c][res.idx], 0)
-            good = res.matched & m.pt_valid[pt_ids]
-            if int(good.sum()) < 15:
-                continue
-            sigma2 = jnp.asarray(
-                [self.cfg.scale ** (2 * i) for i in range(self.cfg.n_levels)]
-            )[frame.octave]
-            pr = pnp.pnp_ransac(
-                self.cam, m.pt_pos[pt_ids], frame.uv, sigma2, good, self._next_key()
-            )
-            if not bool(pr.ok):
-                continue
-            obs0 = jnp.where(pr.inliers, m.kf_obs_point[c][res.idx], ms.NO_POINT)
-            Xv = jnp.zeros(13, jnp.float32).at[3].set(1.0)
-            reloc_view = tv.compute_track_view(m, jnp.asarray(c), view_size=self.cfg.view_size)
-            r2 = tracking.track_local_map(
-                self.cam, m, reloc_view, frame, pr.pose, obs0, Xv, self._next_key(),
-                scale=self.cfg.scale, n_levels=self.cfg.n_levels,
-                min_inliers=25, use_gf=False,
-            )
-            if not bool(r2.ok):
-                continue
-            # Relocalized.
+        # One fused device program covers every candidate's matching + PnP
+        # RANSAC + the winner's local-map densification: one dispatch and one
+        # scalar fetch per lost frame instead of ~4 round trips per candidate.
+        res, reloc_view = tracking.relocalize_fused(
+            self.cam, m, self.bow_db.words, frame, words, cand, ok,
+            self._next_key(), scale=self.cfg.scale, n_levels=self.cfg.n_levels,
+            view_size=self.cfg.view_size,
+        )
+        if bool(res.ok):
             self.track_view = reloc_view
             self.state = State.WORKING
             self.lost_frames = 0
             self.last_reloc_frame = self.frame_id
             self.velocity = se3.identity_pose()
-            self.last_pose = r2.pose
-            self.last_obs = r2.obs_point
+            self.last_pose = res.pose
+            self.last_obs = res.obs_point
             self.last_frame = frame
             self.last_ts = timestamp
-            log.pose_cw = np.asarray(r2.pose)
-            log.n_inliers = int(r2.n_inliers)
-            self.trajectory.append((timestamp, np.asarray(r2.pose)))
+            log.pose_cw = np.asarray(res.pose)
+            log.n_inliers = int(res.n_inliers)
+            self.trajectory.append((timestamp, np.asarray(res.pose)))
             return
 
     # ------------------------------------------------------------------

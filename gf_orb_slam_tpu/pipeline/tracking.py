@@ -413,6 +413,76 @@ def track_frame_fused(
     )
 
 
+class RelocResult(NamedTuple):
+    ok: jnp.ndarray          # () bool — relocalized
+    pose: jnp.ndarray        # (7,)
+    obs_point: jnp.ndarray   # (N,)
+    n_inliers: jnp.ndarray   # () int32
+    best_kf: jnp.ndarray     # () int32 — winning candidate keyframe
+
+
+@partial(jax.jit, static_argnames=("cam", "scale", "n_levels", "view_size"))
+def relocalize_fused(
+    cam: CameraModel,
+    m: ms.MapState,
+    db_words: jnp.ndarray,   # (K, N) BoW word ids per keyframe keypoint
+    frame: FrameData,
+    words_f: jnp.ndarray,    # (N,) frame word ids
+    cand: jnp.ndarray,       # (C,) candidate keyframe ids
+    cand_ok: jnp.ndarray,    # (C,) bool
+    key: jnp.ndarray,
+    scale: float = 1.2,
+    n_levels: int = 8,
+    view_size: int = 4096,
+):
+    """ref Tracking::Relocalisation (cc:3854-4032) as ONE device program:
+    every BoW candidate's gated matching + EPnP RANSAC runs vmapped, the best
+    candidate wins, and the local-map densification + pose optimization runs
+    on its covisibility view — replacing the reference-style host loop that
+    cost several dispatch+fetch round trips per candidate per lost frame.
+    Returns (RelocResult, TrackView-of-winner)."""
+    from gf_orb_slam_tpu.pipeline import track_view as tv
+    from gf_orb_slam_tpu.retrieval import keyframe_db as kdb
+    from gf_orb_slam_tpu.solvers import pnp
+
+    sigma2 = _level_sigma2(scale, n_levels)[frame.octave]
+    C = cand.shape[0]
+    keys = jax.random.split(key, C)
+
+    def per_cand(c, ok_c, k):
+        obs_c = m.kf_obs_point[c]
+        has_pt = m.kf_kp_valid[c] & (obs_c >= 0)
+        mask = kdb.bow_match_mask(words_f, db_words[c], frame.valid, has_pt)
+        res = matching.match(
+            frame.desc, m.kf_kp_desc[c], mask,
+            max_dist=matching.TH_LOW, ratio=0.75, mutual=True,
+        )
+        pt_ids = jnp.maximum(obs_c[res.idx], 0)
+        good = res.matched & (obs_c[res.idx] >= 0) & m.pt_valid[pt_ids] & ok_c
+        good = good & (jnp.sum(good) >= 15)
+        pr = pnp.pnp_ransac(cam, m.pt_pos[pt_ids], frame.uv, sigma2, good, k)
+        obs0 = jnp.where(pr.inliers & good, obs_c[res.idx], NO_POINT)
+        return pr.ok & ok_c, pr.pose, pr.n_inliers, obs0
+
+    oks, poses, n_inl, obs0s = jax.vmap(per_cand)(cand, cand_ok, keys)
+    j = jnp.argmax(jnp.where(oks, n_inl, -1))
+    best_kf = cand[j]
+
+    view = tv.compute_track_view(m, best_kf, view_size=view_size)
+    Xv = jnp.zeros(13, frame.uv.dtype).at[3].set(1.0)
+    r2 = track_local_map(
+        cam, m, view, frame, poses[j], obs0s[j], Xv, key,
+        scale=scale, n_levels=n_levels, min_inliers=25, use_gf=False,
+    )
+    return (
+        RelocResult(
+            ok=oks[j] & r2.ok, pose=r2.pose, obs_point=r2.obs_point,
+            n_inliers=r2.n_inliers, best_kf=best_kf,
+        ),
+        view,
+    )
+
+
 @jax.jit
 def update_point_counters(
     m: ms.MapState, visible: jnp.ndarray, found: jnp.ndarray
