@@ -10,8 +10,30 @@ frames/s ÷ 30. Prints exactly one JSON line.
 """
 
 import json
+import os
 import sys
+import threading
 import time
+
+WATCHDOG_S = 900  # the axon tunnel can wedge for hours after a killed client;
+                  # emit a parseable failure line instead of hanging forever
+
+
+def _watchdog():
+    print(
+        json.dumps(
+            {
+                "metric": "tracking_frames_per_second",
+                "value": 0.0,
+                "unit": "frames/s",
+                "vs_baseline": 0.0,
+                "error": f"watchdog: bench exceeded {WATCHDOG_S}s "
+                         "(device tunnel unreachable or compile stuck)",
+            }
+        ),
+        flush=True,
+    )
+    os._exit(2)
 
 
 def main():
@@ -159,8 +181,12 @@ def main():
 
 
 if __name__ == "__main__":
+    _t = threading.Timer(WATCHDOG_S, _watchdog)
+    _t.daemon = True
+    _t.start()
     try:
         main()
+        _t.cancel()
     except Exception as e:  # noqa: BLE001 — the driver needs a JSON line either way
         print(
             json.dumps(

@@ -101,9 +101,11 @@ def main(argv=None):
     if args.synthetic:
         if args.scene == "room":
             scene = synthetic.make_room_scene(seed=0)
+            # Constant ~1.3-1.45°/frame (tracking-safe); ≥~270 frames makes a
+            # full revolution and the loop can close.
             ts, poses_gt = synthetic.circuit_trajectory(
                 args.synthetic, fps=cam.fps, radius=4.0,
-                revs=max(args.synthetic / 400.0, 0.25),
+                revs=min(1.1, args.synthetic / 270.0),
             )
             render = synthetic.render_general
         else:

@@ -117,7 +117,7 @@ class TestLoopClosingLive:
         import subprocess
         import sys
 
-        n_frames = 420
+        n_frames = 300
         out = tmp_path / "circuit"
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         proc = subprocess.run(
@@ -139,7 +139,7 @@ class TestLoopClosingLive:
         # Keyframe-trajectory accuracy post-correction (map not corrupted).
         kf_rows = np.loadtxt(f"{out}_KeyFrameTrajectory.txt")
         ts_all, poses_gt = synthetic.circuit_trajectory(
-            n_frames, fps=20.0, radius=4.0, revs=max(n_frames / 400.0, 0.25),
+            n_frames, fps=20.0, radius=4.0, revs=min(1.1, n_frames / 270.0),
         )
         gt_by_t = {round(float(t), 4): p for t, p in zip(ts_all, poses_gt)}
         est, gt = [], []
