@@ -528,10 +528,19 @@ class SlamSystem:
             )
             if not bool(lm.ok):
                 continue
+            old_q_pose = m.kf_pose[kf_int]
             self.map = loop_closing.correct_loop(
                 m, jnp.asarray(kf_int), jnp.asarray(c), lm.S12, covis,
                 cam=self.cam, scale=self.cfg.scale, n_levels=self.cfg.n_levels,
             )
+            # Transport the tracker's rolling pose into the corrected gauge
+            # via the query keyframe (the reference updates Tracking's pose
+            # through the corrected current KF, LoopClosing.cc:429-470):
+            # T_cw' = (T_cw ∘ T_qw_old⁻¹) ∘ T_qw_new. Velocity is relative and
+            # gauge-invariant.
+            if self.last_pose is not None:
+                rel = se3.compose(self.last_pose, se3.inverse(old_q_pose))
+                self.last_pose = se3.compose(rel, self.map.kf_pose[kf_int])
             self.n_loops_closed += 1
             self.loop_detector.reset()
             self.track_view = tv.compute_track_view(
