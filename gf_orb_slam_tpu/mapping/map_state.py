@@ -285,6 +285,47 @@ def erase_keyframe(m: MapState, k: jnp.ndarray) -> MapState:
     )
 
 
+@jax.jit
+def compact_keyframes(m: MapState):
+    """Renumber live keyframes to the front (temporal order preserved),
+    freeing tombstoned slots for reuse — keyframe ids stay monotone in time,
+    which the spanning tree, BA-window ordering, culling protection, and
+    loop-gap checks all rely on. The reference never needs this (pointer
+    graph), but fixed-capacity slabs do: without compaction the capacity
+    bounds total insertions ever, not live keyframes.
+
+    Returns (m', perm, n_valid): perm (K,) gathers old rows into new order
+    (callers must apply the same permutation to any keyframe-indexed side
+    state, e.g. the BoW database)."""
+    K = m.kf_capacity
+    ar = jnp.arange(K, dtype=jnp.int32)
+    order = jnp.where(m.kf_valid, ar, K + ar)
+    perm = jnp.argsort(order).astype(jnp.int32)          # old ids, new order
+    inv = jnp.zeros((K,), jnp.int32).at[perm].set(ar)    # old id → new id
+    n_valid = jnp.sum(m.kf_valid.astype(jnp.int32))
+
+    first_old = jnp.clip(m.pt_first_kf, 0, K - 1)
+    # Points whose creator was culled keep a mature (early) reference.
+    first_new = jnp.where(
+        m.pt_valid & m.kf_valid[first_old], inv[first_old], 0
+    )
+    m2 = m._replace(
+        kf_pose=m.kf_pose[perm],
+        kf_valid=m.kf_valid[perm],
+        kf_frame_id=m.kf_frame_id[perm],
+        kf_timestamp=m.kf_timestamp[perm],
+        kf_kp_uv=m.kf_kp_uv[perm],
+        kf_kp_octave=m.kf_kp_octave[perm],
+        kf_kp_angle=m.kf_kp_angle[perm],
+        kf_kp_desc=m.kf_kp_desc[perm],
+        kf_kp_valid=m.kf_kp_valid[perm],
+        kf_obs_point=m.kf_obs_point[perm],
+        pt_first_kf=jnp.where(m.pt_valid, first_new, m.pt_first_kf),
+        n_kf=n_valid,
+    )
+    return m2, perm, n_valid
+
+
 def replace_point(m: MapState, old_id: jnp.ndarray, new_id: jnp.ndarray) -> MapState:
     """Fuse: every observation of old_id is rewired to new_id and old_id dies
     (ref MapPoint::Replace, MapPoint.h:68)."""

@@ -427,17 +427,38 @@ class SlamSystem:
             frame_id - self.last_kf_frame,
             frame_id - self.last_reloc_frame if self.last_reloc_frame > 0 else 10**9,
             cfg.max_frames_between_kf,
-        ) and self.n_kf < self.cfg.max_keyframes - 1:
-            self.time_log.begin("keyframe_insert")
-            track_like = tracking.LocalMapTrackResult(
-                pose=res.pose, obs_point=res.obs_point, n_inliers=res.n_inliers,
-                ok=res.ok, local_points=res.pt_visible_add,
-                gf_selected=jnp.zeros_like(self.map.pt_valid),
-                visible_points=res.pt_visible_add, found_points=res.pt_found_add,
-            )
-            self._insert_keyframe(frame_now, track_like, timestamp, frame_id=frame_id)
-            self.time_log.end("keyframe_insert")
+        ):
+            if self.n_kf >= self.cfg.max_keyframes - 2:
+                # Keyframe ids are slab slots; culling tombstones them but
+                # only compaction makes them reusable (bounded memory on
+                # arbitrarily long sequences).
+                self._compact_keyframes()
+            if self.n_kf < self.cfg.max_keyframes - 1:
+                self.time_log.begin("keyframe_insert")
+                track_like = tracking.LocalMapTrackResult(
+                    pose=res.pose, obs_point=res.obs_point, n_inliers=res.n_inliers,
+                    ok=res.ok, local_points=res.pt_visible_add,
+                    gf_selected=jnp.zeros_like(self.map.pt_valid),
+                    visible_points=res.pt_visible_add, found_points=res.pt_found_add,
+                )
+                self._insert_keyframe(frame_now, track_like, timestamp, frame_id=frame_id)
+                self.time_log.end("keyframe_insert")
         return True
+
+    def _compact_keyframes(self):
+        """Renumber live keyframes to the front, apply the same permutation to
+        the BoW database, and reset host-side id-keyed loop state."""
+        self._finalize_insertions()
+        m2, perm, n_valid = ms.compact_keyframes(self.map)
+        self.map = m2
+        if self.bow_db is not None:
+            self.bow_db = kdb.permute(self.bow_db, perm)
+        self.loop_detector.reset()
+        self.n_kf = int(n_valid)
+        if self.n_kf > 0:
+            self.track_view = tv.compute_track_view(
+                self.map, jnp.asarray(self.n_kf - 1), view_size=self.cfg.view_size
+            )
 
     # ------------------------------------------------------------------
     def _relocalize(self, frame, timestamp, log):

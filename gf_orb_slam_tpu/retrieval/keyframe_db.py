@@ -55,6 +55,17 @@ def erase_keyframe(db: BowDatabase, kf_id) -> BowDatabase:
     return db._replace(valid=db.valid.at[kf_id].set(False))
 
 
+def permute(db: BowDatabase, perm: jnp.ndarray) -> BowDatabase:
+    """Apply a keyframe renumbering (from map_state.compact_keyframes) so the
+    database rows stay aligned with the map's keyframe slots."""
+    return BowDatabase(
+        bow=db.bow[perm],
+        words=db.words[perm],
+        mid_nodes=db.mid_nodes[perm],
+        valid=db.valid[perm],
+    )
+
+
 @jax.jit
 def query_scores(db: BowDatabase, v: jnp.ndarray) -> jnp.ndarray:
     """(n_words,) query vs all keyframes → (K,) L1 scores; invalid → −1."""

@@ -108,6 +108,32 @@ class TestMapState:
         # every point has 5 obs (≥3 others at equal octave) → fully redundant
         assert (red[:5] > 0.89).all()
 
+    def test_compact_keyframes_preserves_structure(self):
+        """Renumbering live keyframes to the front must preserve per-keyframe
+        observations, covisibility (up to the permutation), temporal order,
+        and the point first-observer references."""
+        m = small_map(n_kf=5)
+        m = ms.erase_keyframe(m, jnp.asarray(1))
+        m = ms.erase_keyframe(m, jnp.asarray(3))
+        W_before = np.asarray(ms.covisibility(m))
+        m2, perm, n_valid = ms.compact_keyframes(m)
+        perm = np.asarray(perm)
+        assert int(n_valid) == 3
+        assert np.asarray(m2.kf_valid)[:3].all() and not np.asarray(m2.kf_valid)[3:].any()
+        # Temporal (frame-id) order preserved among live keyframes.
+        fids = np.asarray(m2.kf_frame_id)[:3]
+        assert (np.diff(fids) > 0).all()
+        # Observation rows moved with their keyframes.
+        np.testing.assert_array_equal(
+            np.asarray(m2.kf_obs_point), np.asarray(m.kf_obs_point)[perm]
+        )
+        # Covisibility invariant under renumbering.
+        W_after = np.asarray(ms.covisibility(m2))
+        np.testing.assert_array_equal(W_after, W_before[perm][:, perm])
+        # first-observer ids remapped into the new numbering.
+        first = np.asarray(m2.pt_first_kf)[np.asarray(m2.pt_valid)]
+        assert (first < 3).all()
+
     def test_keyframe_redundancy_octave_rule(self):
         """Only same-or-finer-scale observers count (ref LocalMapping::
         KeyFrameCulling cc:562-618: scaleLeveli <= scaleLevel + 1)."""

@@ -69,6 +69,19 @@ class TestEndToEnd:
         assert "LOST" in states[35:41]
         assert any(s == "WORKING" for s in states[40:]), states[35:]
 
+    def test_keyframe_slab_compaction_on_long_runs(self):
+        """With a tiny keyframe capacity the system must compact tombstoned
+        slots and keep tracking indefinitely (slab ids are reused; without
+        compaction the capacity would bound total insertions ever)."""
+        system, rmse = run_sequence(
+            SlamConfig(n_features=600, max_frames_between_kf=3, max_keyframes=12),
+            n_frames=50,
+        )
+        assert rmse is not None, "tracking failed under compaction"
+        assert system.state.name == "WORKING"
+        assert rmse < 0.08, f"ATE {rmse*100:.1f} cm too high under compaction"
+        assert int(np.asarray(system.map.kf_valid).sum()) <= 12
+
     def test_vo_with_gf_selection(self):
         """GF active matching at budget 100 — accuracy within 2x of baseline
         with a bounded match budget (the GF tradeoff property)."""
