@@ -113,31 +113,33 @@ def insert_keyframe_fused(
     # candidate mask, which makes the fuse call an identity transform.
     N = m.kp_capacity
     P = m.pt_capacity
-    w_fuse = ms.covisibility_row(m, kf_id)
-    fw, fuse_ids = jax.lax.top_k(w_fuse, n_fuse_neighbors)
-    fuse_ok = fw >= 10
-    # Direction-1 candidates: the UNION of the neighbors' points, deduplicated
-    # and compacted to a fixed slab (neighbors share most points, so the raw
-    # F·N list is ~2-3× redundant — dedup shrinks the fuse Hamming matrix).
-    obs_nb = m.kf_obs_point[fuse_ids]                          # (F, N)
-    nb_ok = (obs_nb >= 0) & fuse_ok[:, None]
-    member = jnp.zeros((P,), bool).at[
-        jnp.where(nb_ok, obs_nb, P).reshape(-1)
-    ].set(True, mode="drop")
-    order = jnp.where(member, jnp.arange(P, dtype=jnp.int32), P)
-    cand1 = -jax.lax.top_k(-order, min(ba_points, P))[0]        # smallest ids
-    use1 = cand1 < P
-    m = keyframe_ops.fuse_into_keyframe(
-        cam, m, kf_id, jnp.minimum(cand1, P - 1), use1,
-        scale=scale, n_levels=n_levels,
-    )
-    for i in range(n_fuse_neighbors):
-        cand2 = m.kf_obs_point[kf_id]
-        use2 = (cand2 >= 0) & fuse_ok[i]
+    if n_fuse_neighbors > 0:  # static: 0 compiles fusion out entirely
+        w_fuse = ms.covisibility_row(m, kf_id)
+        fw, fuse_ids = jax.lax.top_k(w_fuse, n_fuse_neighbors)
+        fuse_ok = fw >= 10
+        # Direction-1 candidates: the UNION of the neighbors' points,
+        # deduplicated and compacted to a fixed slab (neighbors share most
+        # points, so the raw F·N list is ~2-3× redundant — dedup shrinks the
+        # fuse Hamming matrix).
+        obs_nb = m.kf_obs_point[fuse_ids]                      # (F, N)
+        nb_ok = (obs_nb >= 0) & fuse_ok[:, None]
+        member = jnp.zeros((P,), bool).at[
+            jnp.where(nb_ok, obs_nb, P).reshape(-1)
+        ].set(True, mode="drop")
+        order = jnp.where(member, jnp.arange(P, dtype=jnp.int32), P)
+        cand1 = -jax.lax.top_k(-order, min(ba_points, P))[0]    # smallest ids
+        use1 = cand1 < P
         m = keyframe_ops.fuse_into_keyframe(
-            cam, m, fuse_ids[i], jnp.maximum(cand2, 0), use2,
+            cam, m, kf_id, jnp.minimum(cand1, P - 1), use1,
             scale=scale, n_levels=n_levels,
         )
+        for i in range(n_fuse_neighbors):
+            cand2 = m.kf_obs_point[kf_id]
+            use2 = (cand2 >= 0) & fuse_ok[i]
+            m = keyframe_ops.fuse_into_keyframe(
+                cam, m, fuse_ids[i], jnp.maximum(cand2, 0), use2,
+                scale=scale, n_levels=n_levels,
+            )
 
     # --- local BA over the top covisibility window (fixed shapes) ---
     w_row2 = ms.covisibility_row(m, kf_id).at[kf_id].set(jnp.int32(1 << 30))  # self always in window

@@ -47,10 +47,13 @@ def main():
     pose = system.last_pose
 
     variants = [
-        ("full (tri2, ba 5+10, pts4096)", dict()),
+        ("full (tri3, fuse4, ba 5+10)", dict()),
         ("ba 1+1", dict(ba_iters=(1, 1))),
         ("ba 0+0", dict(ba_iters=(0, 0))),
         ("no triangulation", dict(n_tri_neighbors=0)),
+        ("no fusion", dict(n_fuse_neighbors=0)),
+        ("fusion 2 neighbors", dict(n_fuse_neighbors=2)),
+        ("tri 2 neighbors", dict(n_tri_neighbors=2)),
         ("pts 2048", dict(ba_points=2048)),
         ("window 6", dict(ba_window=6)),
     ]
@@ -68,6 +71,7 @@ def main():
                 n_tri_neighbors=kw.get("n_tri_neighbors", cfg.triangulate_neighbors),
                 ba_points=kw.get("ba_points", cfg.ba_points),
                 ba_iters=kw.get("ba_iters", (5, 10)),
+                n_fuse_neighbors=kw.get("n_fuse_neighbors", 4),
             )
             m = out.m
         float(out.kf_id)
