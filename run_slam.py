@@ -33,6 +33,12 @@ def main(argv=None):
                          "binary); default: train on-the-fly from early keyframes")
     ap.add_argument("--gf-budget", type=int, default=0,
                     help="good-feature budget (0 = GF off, plain ORB-SLAM path)")
+    ap.add_argument("--gf-mode", default="subset",
+                    choices=["subset", "hybrid", "auto", "active", "random", "longlive"],
+                    help="selection variant (ref Observability #define matrix): "
+                         "subset=7x7 Max-logDet, hybrid=13x13 [H;H*F], auto=gain-"
+                         "floor budget, active=select-then-match, random/longlive="
+                         "ablation baselines")
     ap.add_argument("--n-features", type=int, default=0, help="override ORB feature count")
     ap.add_argument("--max-frames", type=int, default=0, help="cap processed frames")
     ap.add_argument("--out", default="results/run", help="output prefix")
@@ -75,6 +81,7 @@ def main(argv=None):
     if args.gf_budget > 0:
         cfg.use_gf = True
         cfg.gf_budget = args.gf_budget
+        cfg.gf_mode = args.gf_mode
     if args.pipeline > 1:
         cfg.pipelined = True
         cfg.pipeline_depth = args.pipeline
