@@ -390,7 +390,7 @@ class SlamSystem:
         covis = ms.covisibility(self.map)
         cand, ok = kdb.detect_loop_candidates(
             self.bow_db, covis, jnp.asarray(max(self.n_kf - 1, 0)),
-            max_candidates=6,
+            max_candidates=6, exclude_kf=jnp.asarray(-1, jnp.int32),
         )
         jax.block_until_ready((cand, ok))
 
