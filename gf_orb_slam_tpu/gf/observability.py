@@ -86,15 +86,24 @@ def info_matrices(H_w: jnp.ndarray, visible: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(visible[:, None, None], blocks, 0.0)
 
 
-def hybrid_matrices(
+def hybrid_factors(
     H: jnp.ndarray, F: jnp.ndarray, visible: jnp.ndarray
 ) -> jnp.ndarray:
-    """Two-segment PWLS stacking (ref Observability.cc:236-245 hybrid mode):
-    rows [H·Sel ; H·Sel·F13] over the 13-dim state, reduced to a 13×13 info
-    block per landmark. Sel embeds the 7 pose columns into 13 dims."""
+    """Two-segment PWLS stacking factors (ref Observability.cc:236-245 hybrid
+    mode): rows [H·Sel ; H·Sel·F13] over the 13-dim state, (N, 4, 13), with
+    Sel embedding the 7 pose columns into 13 dims. block_i = factorᵀ·factor;
+    the low-rank greedy (gf/selection.py) consumes factors directly."""
     N = H.shape[0]
     H13d = jnp.zeros((N, 2, 13), H.dtype).at[:, :, 0:7].set(H)
     HF = jnp.einsum("nri,ij->nrj", H13d, F)
     stacked = jnp.concatenate([H13d, HF], axis=1)  # (N, 4, 13)
-    blocks = jnp.einsum("nri,nrj->nij", stacked, stacked)
-    return jnp.where(visible[:, None, None], blocks, 0.0)
+    return jnp.where(visible[:, None, None], stacked, 0.0)
+
+
+def hybrid_matrices(
+    H: jnp.ndarray, F: jnp.ndarray, visible: jnp.ndarray
+) -> jnp.ndarray:
+    """13×13 info block per landmark from the hybrid stacking (see
+    hybrid_factors)."""
+    stacked = hybrid_factors(H, F, visible)
+    return jnp.einsum("nri,nrj->nij", stacked, stacked)

@@ -59,6 +59,122 @@ class SelectionResult(NamedTuple):
     n_selected: jnp.ndarray  # () int32
 
 
+def normalize_factors(factors: jnp.ndarray, valid: jnp.ndarray):
+    """Factor-space analogue of normalize_blocks: block_i = F_iᵀF_i, so
+    trace(block_i) = ‖F_i‖²_F and dividing factors by √s scales blocks by 1/s."""
+    D = factors.shape[-1]
+    tr = jnp.sum(factors * factors, axis=(-2, -1))
+    s = jnp.sum(jnp.where(valid, tr, 0.0)) / (
+        jnp.maximum(jnp.sum(valid.astype(factors.dtype)), 1.0) * D
+    )
+    s = jnp.maximum(s, 1e-20)
+    return factors / jnp.sqrt(s), s
+
+
+def _logdet_eye_plus(G: jnp.ndarray) -> jnp.ndarray:
+    """logdet(I_r + G) for small PSD G (..., r, r): closed form for the rank-2
+    measurement blocks and the rank-4 hybrid blocks (2×2 block-Schur
+    reduction), batched Cholesky otherwise. No per-candidate D×D factorization
+    anywhere — this is the whole point of the determinant-lemma greedy."""
+    r = G.shape[-1]
+    M = G + jnp.eye(r, dtype=G.dtype)
+    tiny = jnp.asarray(1e-30, G.dtype)
+    if r == 1:
+        return jnp.log(jnp.maximum(M[..., 0, 0], tiny))
+
+    def det2(A):
+        return A[..., 0, 0] * A[..., 1, 1] - A[..., 0, 1] * A[..., 1, 0]
+
+    if r == 2:
+        return jnp.log(jnp.maximum(det2(M), tiny))
+    if r == 4:
+        # det([[A,B],[Bᵀ,C]]) = det(A)·det(C − BᵀA⁻¹B); A is PD (I + PSD).
+        A = M[..., 0:2, 0:2]
+        B = M[..., 0:2, 2:4]
+        C = M[..., 2:4, 2:4]
+        dA = jnp.maximum(det2(A), tiny)
+        Ainv = (
+            jnp.stack(
+                [
+                    jnp.stack([A[..., 1, 1], -A[..., 0, 1]], axis=-1),
+                    jnp.stack([-A[..., 1, 0], A[..., 0, 0]], axis=-1),
+                ],
+                axis=-2,
+            )
+            / dA[..., None, None]
+        )
+        S = C - jnp.swapaxes(B, -1, -2) @ Ainv @ B
+        return jnp.log(dA) + jnp.log(jnp.maximum(det2(S), tiny))
+    return linalg.logdet_psd(M)
+
+
+@partial(jax.jit, static_argnames=("k", "batch"))
+def greedy_maxlogdet_lowrank(
+    factors: jnp.ndarray,
+    valid: jnp.ndarray,
+    k: int,
+    batch: int = 1,
+    info_prior: jnp.ndarray | None = None,
+) -> SelectionResult:
+    """Exact greedy Max-logDet via the matrix determinant lemma over explicit
+    low-rank factors: block_i = F_iᵀF_i with F_i the (r, D) whitened Jacobian
+    (r=2 for 7-dim info blocks, r=4 for the 13×13 hybrid stacking).
+
+    Per round, EVERY candidate's marginal gain
+        logdet(cur + F_iᵀF_i) − logdet(cur) = logdet(I_r + F_i cur⁻¹ F_iᵀ)
+    is computed from ONE D×D Cholesky of the accumulated matrix plus a batched
+    triangular solve and an (N, r, r) einsum — no per-candidate D×D Cholesky,
+    which is what made the blockwise lazier-greedy scan cost ~80 µs/round
+    (SURVEY §7 hard-part (b): "the logDet trick decides kernel efficiency").
+    Evaluating the full candidate set each round is now cheap enough that this
+    is EXACT greedy (the quality ground-truth the reference's lazier variant
+    approximates, test_Greedy.cpp) at better-than-lazier speed.
+
+    batch > 1 commits the top-`batch` gains per round (k/batch rounds).
+    info_prior (D, D) seeds the accumulated matrix with the initial-tracking
+    matches' information (ref FRAME_MATCHING_INFO_PRIOR, Tracking.h:91,
+    Observability.cc:556-644) so selection targets directions the current
+    match set leaves weak; it is scaled into the normalized block space.
+    """
+    N, r, D = factors.shape
+    factors, s = normalize_factors(factors, valid)
+    cur0 = PRIOR_EPS * jnp.eye(D, dtype=factors.dtype)
+    if info_prior is not None:
+        cur0 = cur0 + info_prior / s
+    B = max(1, min(batch, k))
+    rounds = -(-k // B)
+    sel0 = jnp.zeros(N, bool)
+    Ft = factors.reshape(N * r, D).T  # (D, N·r) shared RHS
+
+    def round_fn(carry, _):
+        cur, selected, n_sel = carry
+        L = jnp.linalg.cholesky(cur)
+        Y = jax.scipy.linalg.solve_triangular(L, Ft, lower=True)  # (D, N·r)
+        Yn = Y.reshape(D, N, r)
+        G = jnp.einsum("dnr,dns->nrs", Yn, Yn)
+        gains = _logdet_eye_plus(G)
+        gains = jnp.where(valid & ~selected, gains, -jnp.inf)
+        top_g, picks = jax.lax.top_k(gains, B)
+        take = jnp.isfinite(top_g) & (
+            n_sel + jnp.arange(B, dtype=jnp.int32) < k
+        )
+        Fp = jnp.where(take[:, None, None], factors[picks], 0.0)
+        cur = cur + jnp.einsum("bri,brj->ij", Fp, Fp)
+        selected = selected.at[jnp.where(take, picks, N)].set(True, mode="drop")
+        n_sel = n_sel + jnp.sum(take.astype(jnp.int32))
+        return (cur, selected, n_sel), None
+
+    (cur, selected, _), _ = jax.lax.scan(
+        round_fn, (cur0, sel0, jnp.int32(0)), None, length=rounds
+    )
+    return SelectionResult(
+        selected=selected,
+        info_total=cur * s,
+        logdet=_denorm_logdet(cur, s),
+        n_selected=jnp.sum(selected.astype(jnp.int32)),
+    )
+
+
 def _greedy_round(blocks, valid, cur, selected, cand_mask):
     """One greedy round over an explicit candidate mask. Returns the argmax
     candidate index and its updated matrix."""

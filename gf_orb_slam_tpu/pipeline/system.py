@@ -50,7 +50,8 @@ class SlamConfig:
     max_points: int = 16384
     use_motion_model: bool = True
     use_gf: bool = False            # Good-Feature selection in local-map tracking
-    gf_mode: str = "subset"         # "subset" | "auto" | "active" | "random" | "longlive"
+    gf_mode: str = "subset"         # "subset" | "hybrid" | "lazier" | "auto" |
+                                    # "active" | "random" | "longlive"
     gf_budget: int = 100
     gf_batch: int = 5               # picks per selection round (latency knob)
     gf_warmup_frames: int = 40      # ref: GF off for ~5s after init (Tracking.h:104)
@@ -440,6 +441,7 @@ class SlamSystem:
                     ok=res.ok, local_points=res.pt_visible_add,
                     gf_selected=jnp.zeros_like(self.map.pt_valid),
                     visible_points=res.pt_visible_add, found_points=res.pt_found_add,
+                    n_total=res.n_total,
                 )
                 self._insert_keyframe(frame_now, track_like, timestamp, frame_id=frame_id)
                 self.time_log.end("keyframe_insert")

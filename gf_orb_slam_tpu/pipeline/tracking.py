@@ -124,6 +124,8 @@ class LocalMapTrackResult(NamedTuple):
     gf_selected: jnp.ndarray    # (P,) bool — GF-selected subset (all-False if off)
     visible_points: jnp.ndarray  # (P,) bool — frustum-visible this frame
     found_points: jnp.ndarray    # (P,) bool — matched this frame
+    n_total: jnp.ndarray        # () int32 — inliers + deferred matches (ref
+                                # lmk_num_BA = refTrack + nMatched, Tracking.cc:3143)
 
 
 @partial(
@@ -187,27 +189,57 @@ def track_local_map(
     visible = search_v & front & in_img & in_range & (cos_view > 0.5)
 
     # --- optional budgeted selection over the visible candidates ---
-    # gf_mode: "subset"   Max-logDet lazier-greedy, then match the subset
-    #          "hybrid"   same, over 13×13 [H; H·F] two-segment PWLS blocks
+    # gf_mode: "subset"   exact Max-logDet greedy (determinant-lemma kernel,
+    #                     gf/selection.py) seeded with the tracking info prior
+    #          "hybrid"   same, over 13×13 [H; H·F] two-segment PWLS factors
     #                     (ref Observability.cc:236-245 hybrid matrices)
-    #          "auto"     same, but the budget is discovered from the marginal
-    #                     gain floor (ref maxVolAutomatic_*); gf_budget caps it
+    #          "lazier"   the reference's lazier-greedy random-subsampling
+    #                     variant (Observability.cc:2815, for parity/ablation)
+    #          "auto"     budget discovered from the marginal gain floor
+    #                     (ref maxVolAutomatic_*); gf_budget caps it
     #          "active"   select-then-match by marginal logDet gain
     #          "random"   budget-size random subset (ref runBaselineMapMatching
     #                     RANDOM_MAP_MATCHING baseline, Observability.cc:1819)
     #          "longlive" budget oldest-first by first observing keyframe (ref
     #                     LONGLIVE_MAP_MATCHING baseline)
-    if use_gf and gf_mode in ("subset", "auto", "active", "hybrid"):
+    if use_gf and gf_mode in ("subset", "auto", "active", "hybrid", "lazier"):
         jac = observability.measurement_jacobians(cam, Xv, pos_v)
         H_w = observability.whiten(jac.H, jnp.ones((V,)))
+        vis_j = jac.visible & valid_v
         if gf_mode == "hybrid":
             from gf_orb_slam_tpu.geometry import pwls
 
             F = pwls.f_matrix(Xv, jnp.asarray(dt, pose.dtype))
-            blocks = observability.hybrid_matrices(H_w, F, jac.visible & valid_v)
+            factors = observability.hybrid_factors(H_w, F, vis_j)
         else:
-            blocks = observability.info_matrices(H_w, jac.visible & valid_v)
+            factors = jnp.where(vis_j[:, None, None], H_w, 0.0)
+        if gf_mode in ("auto", "active", "lazier"):
+            blocks = jnp.einsum("nri,nrj->nij", factors, factors)
+    if use_gf and gf_mode in ("subset", "hybrid", "active"):
+        # Info prior from the initial-tracking matches (ref FRAME_MATCHING_
+        # INFO_PRIOR, Tracking.h:91; Observability.cc:556-644): selection adds
+        # information where the current match set is weakest.
+        op0 = jnp.maximum(obs_point, 0)
+        jac_cur = observability.measurement_jacobians(cam, Xv, m.pt_pos[op0])
+        Hc = observability.whiten(jac_cur.H, jnp.ones((N,)))
+        Hc = jnp.where(
+            (jac_cur.visible & (obs_point >= 0))[:, None, None], Hc, 0.0
+        )
+        info_prior7 = jnp.einsum("nri,nrj->ij", Hc, Hc)
     if use_gf and gf_mode in ("subset", "hybrid"):
+        if gf_mode == "hybrid":
+            prior = jnp.zeros((13, 13), info_prior7.dtype).at[0:7, 0:7].set(
+                info_prior7
+            )
+        else:
+            prior = info_prior7
+        sel = selection.greedy_maxlogdet_lowrank(
+            factors, visible & jac.visible, k=gf_budget, batch=gf_batch,
+            info_prior=prior,
+        )
+        match_v = sel.selected
+        gf_sel_v = sel.selected
+    elif use_gf and gf_mode == "lazier":
         sel = selection.lazier_greedy_maxlogdet(
             blocks, visible & jac.visible, k=gf_budget, key=gf_key,
             batch=gf_batch,
@@ -236,6 +268,14 @@ def track_local_map(
         gf_sel_v = jnp.zeros((V,), bool)
 
     # --- projection matching of candidates into the frame ---
+    # ALL frustum-visible candidates are matched, not just the GF subset: the
+    # dense masked Hamming kernel costs the same either way, and the deferred
+    # (non-selected) matches are what the reference's DELAYED_MAP_MATCHING
+    # recovers in the post-publish slack (Tracking.cc:854-893,3097-3141 →
+    # SearchByProjection_Budget ORBmatcher.cc:276). The GF budget still caps
+    # the pose-LM observation set below — the latency-critical path — while
+    # keyframes keep full observation richness (lmk_num_BA = refTrack +
+    # nMatched, Tracking.cc:3143).
     pred_oct = _predict_octave(dist, view.max_dist, scale, n_levels)
     sf = jnp.asarray([scale**i for i in range(n_levels)])
     rad = radius * sf[pred_oct]
@@ -243,31 +283,22 @@ def track_local_map(
 
     free_kp = frame.valid & (obs_point == NO_POINT)
     pmask = matching.projection_mask(
-        uv_proj, match_v, frame.uv, frame.octave, free_kp, rad, pred_oct
+        uv_proj, visible, frame.uv, frame.octave, free_kp, rad, pred_oct
     )
     res = matching.match(
         view.desc, frame.desc, pmask, max_dist=matching.TH_HIGH, ratio=0.8,
         mutual=True,
     )
-    hit = res.matched & match_v
+    hit_all = res.matched & visible
+    hit = hit_all & match_v
 
     if use_gf and gf_mode == "active":
-        # Select-then-match by marginal logDet gain (ref runActiveMapMatching).
+        # Select-then-match by marginal logDet gain (ref runActiveMapMatching),
+        # seeded with the shared tracking info prior computed above.
         from gf_orb_slam_tpu.gf import active_matching as am
 
-        # Info prior from already-matched features: their blocks via the view
-        # would need a reverse lookup; approximate with the pose-visible
-        # matched candidates' blocks (cur matches are outside the search set,
-        # so reconstruct their Jacobians directly from global positions).
-        op = jnp.maximum(obs_point, 0)
-        jac_cur = observability.measurement_jacobians(cam, Xv, m.pt_pos[op])
-        cur_blocks = observability.info_matrices(
-            observability.whiten(jac_cur.H, jnp.ones((N,))),
-            jac_cur.visible & (obs_point >= 0),
-        )
-        info_init = jnp.sum(cur_blocks, axis=0)
         act = am.active_match(
-            blocks, visible & jac.visible, hit, res.idx, info_init,
+            blocks, visible & jac.visible, hit, res.idx, info_prior7,
             budget=gf_budget,
         )
         hit = act.matched
@@ -279,7 +310,7 @@ def track_local_map(
         jnp.where(hit, view.ids, 0), mode="drop"
     )
 
-    # --- pose optimization over all matches (global gather) ---
+    # --- pose optimization over the (budgeted) matches (global gather) ---
     op = jnp.maximum(obs, 0)
     valid_obs = obs >= 0
     sigma2 = _level_sigma2(scale, n_levels)[frame.octave]
@@ -287,6 +318,26 @@ def track_local_map(
         cam, pose, m.pt_pos[op], frame.uv, 1.0 / sigma2, valid_obs
     )
     obs_final = jnp.where(result.inliers, obs, NO_POINT)
+
+    # --- deferred matches (ref DELAYED_MAP_MATCHING): candidates matched by
+    # the dense kernel but excluded from the pose LM by the GF budget. They
+    # are chi2-gated against the REFINED pose (the reference validates its
+    # post-publish matches through the next frame's optimization; gating here
+    # is the single-program equivalent) and merged into the observation set,
+    # so keyframes record full-density observations regardless of budget.
+    # mutual=True makes res.idx injective over matched rows, so deferred and
+    # selected hits occupy disjoint keypoint slots by construction.
+    hit_def = hit_all & ~hit
+    obs_def = jnp.full((N,), NO_POINT, jnp.int32).at[
+        jnp.where(hit_def, res.idx, N)
+    ].set(jnp.where(hit_def, view.ids, 0), mode="drop")
+    dp = jnp.maximum(obs_def, 0)
+    xc_d = se3.transform_point(result.pose, m.pt_pos[dp])
+    uv_hat_d, _, front_d = project(cam, xc_d)
+    r_d = frame.uv - uv_hat_d
+    chi2_d = jnp.sum(r_d * r_d, axis=-1) / sigma2
+    keep_d = (obs_def >= 0) & front_d & (chi2_d < pose_opt.HUBER_DELTA2)
+    obs_final = jnp.where((obs_final == NO_POINT) & keep_d, obs_def, obs_final)
 
     # (P,)-shaped reporting masks via scatter from the view / frame.
     def scatter_p(mask_v):
@@ -305,6 +356,7 @@ def track_local_map(
         gf_selected=scatter_p(gf_sel_v),
         visible_points=scatter_p(visible),
         found_points=found,
+        n_total=jnp.sum((obs_final >= 0).astype(jnp.int32)),
     )
 
 
@@ -326,6 +378,7 @@ class FusedTrackResult(NamedTuple):
     pt_found_add: jnp.ndarray    # (P,) bool
     pt_visible: jnp.ndarray    # (P,) int32 — already-incremented counters
     pt_found: jnp.ndarray      # (P,) int32
+    n_total: jnp.ndarray       # () int32 — LM inliers + deferred matches
 
 
 @partial(
@@ -410,6 +463,7 @@ def track_frame_fused(
         pt_found_add=r2.found_points,
         pt_visible=m.pt_visible + r2.visible_points.astype(jnp.int32),
         pt_found=m.pt_found + r2.found_points.astype(jnp.int32),
+        n_total=r2.n_total,
     )
 
 

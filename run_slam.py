@@ -34,11 +34,13 @@ def main(argv=None):
     ap.add_argument("--gf-budget", type=int, default=0,
                     help="good-feature budget (0 = GF off, plain ORB-SLAM path)")
     ap.add_argument("--gf-mode", default="subset",
-                    choices=["subset", "hybrid", "auto", "active", "random", "longlive"],
+                    choices=["subset", "hybrid", "lazier", "auto", "active",
+                             "random", "longlive"],
                     help="selection variant (ref Observability #define matrix): "
-                         "subset=7x7 Max-logDet, hybrid=13x13 [H;H*F], auto=gain-"
-                         "floor budget, active=select-then-match, random/longlive="
-                         "ablation baselines")
+                         "subset=7x7 exact Max-logDet (det-lemma kernel), "
+                         "hybrid=13x13 [H;H*F], lazier=reference lazier-greedy, "
+                         "auto=gain-floor budget, active=select-then-match, "
+                         "random/longlive=ablation baselines")
     ap.add_argument("--n-features", type=int, default=0, help="override ORB feature count")
     ap.add_argument("--max-frames", type=int, default=0, help="cap processed frames")
     ap.add_argument("--out", default="results/run", help="output prefix")

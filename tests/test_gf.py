@@ -158,6 +158,72 @@ class TestSelection:
                 degr.append(float(exact.logdet) - float(res.logdet))
             assert np.mean(degr) < 1.5, (batch, np.mean(degr))
 
+    def test_lowrank_matches_exact_greedy(self, rng):
+        """The determinant-lemma kernel IS exact greedy — the same argmax
+        sequence computed through logdet(I_r + F·cur⁻¹·Fᵀ) instead of
+        per-candidate 7×7 Choleskys: identical selection at batch=1, and
+        bounded degradation at the production batch size."""
+        cam = camera.EUROC_CAM
+        Xv, pts = synth_state_and_points(rng, cam, n=200)
+        jac = observability.measurement_jacobians(cam, Xv, pts)
+        H_w = observability.whiten(jac.H, jnp.ones(200))
+        factors = jnp.where(jac.visible[:, None, None], H_w, 0.0)
+        blocks = observability.info_matrices(H_w, jac.visible)
+        k = 60
+        exact = selection.greedy_maxlogdet(blocks, jac.visible, k=k)
+        lr = selection.greedy_maxlogdet_lowrank(factors, jac.visible, k=k, batch=1)
+        assert int(lr.n_selected) == k
+        overlap = (np.asarray(lr.selected) & np.asarray(exact.selected)).sum()
+        assert overlap >= k - 2, overlap  # fp tie-breaks only
+        assert abs(float(lr.logdet) - float(exact.logdet)) < 1e-2
+        lr5 = selection.greedy_maxlogdet_lowrank(factors, jac.visible, k=k, batch=5)
+        assert int(lr5.n_selected) == k
+        assert float(exact.logdet) - float(lr5.logdet) < 0.5
+        # rank-4 hybrid factors go through the block-Schur closed form
+        from gf_orb_slam_tpu.geometry import pwls
+
+        F = pwls.f_matrix(Xv, jnp.asarray(0.05))
+        fac4 = observability.hybrid_factors(H_w, F, jac.visible)
+        hyb = observability.hybrid_matrices(H_w, F, jac.visible)
+        e4 = selection.greedy_maxlogdet(hyb, jac.visible, k=k)
+        l4 = selection.greedy_maxlogdet_lowrank(fac4, jac.visible, k=k, batch=1)
+        assert abs(float(l4.logdet) - float(e4.logdet)) < 2e-2
+
+    def test_lowrank_info_prior_complements(self, rng):
+        """FRAME_MATCHING_INFO_PRIOR seeding (ref Tracking.h:91,
+        Observability.cc:556-644): greedy seeded with the current matches'
+        information must maximize the JOINT logdet(prior + picks) — at least
+        as well as the prior-blind selection evaluated on the same joint
+        objective."""
+        cam = camera.EUROC_CAM
+        Xv, pts = synth_state_and_points(rng, cam, n=200)
+        jac = observability.measurement_jacobians(cam, Xv, pts)
+        H_w = observability.whiten(jac.H, jnp.ones(200))
+        factors = jnp.where(jac.visible[:, None, None], H_w, 0.0)
+        blocks = np.asarray(observability.info_matrices(H_w, jac.visible))
+        vis_idx = np.nonzero(np.asarray(jac.visible))[0]
+        prior_idx = rng.choice(vis_idx, 40, replace=False)
+        prior = jnp.asarray(blocks[prior_idx].sum(axis=0))
+        cand = np.asarray(jac.visible).copy()
+        cand[prior_idx] = False  # prior points are already matched
+        k = 30
+        with_p = selection.greedy_maxlogdet_lowrank(
+            factors, jnp.asarray(cand), k=k, batch=1, info_prior=prior
+        )
+        blind = selection.greedy_maxlogdet_lowrank(
+            factors, jnp.asarray(cand), k=k, batch=1
+        )
+
+        def joint(sel):
+            M = (
+                selection.PRIOR_EPS * np.eye(7)
+                + np.asarray(prior)
+                + blocks[np.asarray(sel)].sum(axis=0)
+            )
+            return np.linalg.slogdet(M)[1]
+
+        assert joint(with_p.selected) >= joint(blind.selected) - 1e-3
+
     def test_auto_budget_stops_on_gain_floor(self, rng):
         """ref maxVolAutomatic_*: the budget is discovered from the marginal
         gain floor. A high floor must select fewer points than a low floor,

@@ -94,6 +94,38 @@ class TestEndToEnd:
         assert rmse is not None, "tracking failed with GF"
         assert rmse < 0.08, f"GF ATE {rmse*100:.1f} cm too high"
 
+    def test_deferred_matching_keeps_keyframes_dense(self):
+        """ref DELAYED_MAP_MATCHING (Tracking.h:82; Tracking.cc:854-893,
+        3097-3141): GF budgets cap the pose-LM observation set, NOT keyframe
+        observation richness — non-selected candidates matched by the dense
+        kernel are chi2-gated against the refined pose and carried into the
+        keyframe (lmk_num_BA = refTrack + nMatched, Tracking.cc:3143). At
+        budget 60 the keyframes inserted under GF must hold several× the
+        budget in observations, and accuracy must stay at the GF-off level
+        (the round-2 budget-60 ATE cliff came from thin keyframes)."""
+        system, rmse = run_sequence(
+            SlamConfig(
+                n_features=600, max_frames_between_kf=8,
+                use_gf=True, gf_budget=60, gf_warmup_frames=10,
+            )
+        )
+        assert rmse is not None, "tracking failed at budget 60"
+        assert rmse < 0.05, f"budget-60 ATE {rmse*100:.1f} cm too high"
+        m = system.map
+        kf_valid = np.asarray(m.kf_valid)
+        obs = np.asarray(m.kf_obs_point)
+        fid = np.asarray(m.kf_frame_id)
+        gf_kf_counts = [
+            int((obs[k] >= 0).sum())
+            for k in np.nonzero(kf_valid)[0]
+            if fid[k] > 10  # inserted after GF warmup
+        ]
+        assert gf_kf_counts, "no keyframes inserted under GF"
+        assert max(gf_kf_counts) > 2 * 60, (
+            f"GF keyframes too thin (obs counts {gf_kf_counts}) — deferred "
+            "matches are not reaching keyframe observations"
+        )
+
     def test_vo_baseline_matching_modes(self):
         """The reference's ablation baselines (RANDOM / LONGLIVE budgeted
         matching, Observability::runBaselineMapMatching cc:1819) track the
