@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--pipeline", type=int, default=0)
     ap.add_argument("--scene", choices=["planes", "room"], default="planes")
+    ap.add_argument("--gf-mode", default="subset")
+    ap.add_argument("--probe-stages", action="store_true",
+                    help="per-config on-chip stage attribution in each run")
     args = ap.parse_args()
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -44,9 +47,12 @@ def main():
         for budget in args.budgets:
             for rnd in range(args.rounds):
                 prefix = os.path.join(args.out_dir, f"{name}_gf{budget}_r{rnd}")
-                argv = ["--out", prefix, "--gf-budget", str(budget)]
+                argv = ["--out", prefix, "--gf-budget", str(budget),
+                        "--gf-mode", args.gf_mode, "--seed", str(rnd)]
                 if args.cpu:
                     argv.append("--cpu")
+                if args.probe_stages and rnd == 0:
+                    argv.append("--probe-stages")
                 if args.pipeline:
                     argv += ["--pipeline", str(args.pipeline)]
                 if path is None:
@@ -59,17 +65,40 @@ def main():
                     res = json.load(f)
                 summary.append({"seq": name, "budget": budget, "round": rnd, **res})
 
-    with open(os.path.join(args.out_dir, "sweep_summary.json"), "w") as f:
-        json.dump(summary, f, indent=2)
-    # Console table: the RMSE-vs-latency tradeoff the reference plots.
-    print(f"{'seq':>12} {'budget':>7} {'rmse_cm':>8} {'track_ms':>9} {'frames':>7}")
+    # Per-cell aggregation over rounds (the reference's 10-round protocol
+    # reports mean RMSE per {budget × sequence} cell, Run_EuRoC.py:34-43).
+    cells = {}
     for row in summary:
-        rmse = row.get("ate_rmse_m")
-        tot = row.get("timing", {}).get("total", {})
-        track = tot.get("median_ms", tot.get("mean_ms", 0))
+        cells.setdefault((row["seq"], row["budget"]), []).append(row)
+    aggregated = []
+    for (seq_name, budget), rows in sorted(cells.items()):
+        rmses = [r["ate_rmse_m"] for r in rows if r.get("ate_rmse_m") is not None]
+        tots = [
+            r.get("timing", {}).get("total", {}).get("median_ms", 0.0)
+            for r in rows
+        ]
+        mean = sum(rmses) / len(rmses) if rmses else float("nan")
+        std = (
+            (sum((x - mean) ** 2 for x in rmses) / max(len(rmses) - 1, 1)) ** 0.5
+            if len(rmses) > 1 else 0.0
+        )
+        aggregated.append({
+            "seq": seq_name, "budget": budget, "rounds": len(rows),
+            "completed": len(rmses),
+            "ate_rmse_mean_m": mean, "ate_rmse_std_m": std,
+            "ate_rmse_all_m": rmses,
+            "track_median_ms": sorted(tots)[len(tots) // 2] if tots else 0.0,
+        })
+
+    with open(os.path.join(args.out_dir, "sweep_summary.json"), "w") as f:
+        json.dump({"runs": summary, "cells": aggregated}, f, indent=2)
+    # Console table: the RMSE-vs-latency tradeoff the reference plots.
+    print(f"{'seq':>12} {'budget':>7} {'rmse_cm':>12} {'track_ms':>9} {'rounds':>7}")
+    for c in aggregated:
         print(
-            f"{row['seq']:>12} {row['budget']:>7} "
-            f"{(rmse * 100 if rmse else float('nan')):>8.2f} {track:>9.1f} {row['tracked']:>7}"
+            f"{c['seq']:>12} {c['budget']:>7} "
+            f"{c['ate_rmse_mean_m']*100:>7.2f}±{c['ate_rmse_std_m']*100:<4.2f}"
+            f" {c['track_median_ms']:>9.1f} {c['completed']:>3}/{c['rounds']}"
         )
 
 

@@ -48,8 +48,9 @@ def main():
     cam = CameraModel(
         fx=458.0, fy=458.0, cx=376.0, cy=240.0, width=752, height=480, fps=20.0
     )
-    n_frames = 80
-    warmup_frames = 25
+    n_frames = 96
+    warmup_frames = 24
+    window = 12  # frames per measurement window
 
     scene = synthetic.make_scene(seed=0)
     ts, poses_gt = synthetic.trajectory(n_frames, fps=20.0)
@@ -72,11 +73,6 @@ def main():
         pipelined=True, pipeline_depth=6,
     )
 
-    # Two independent passes, best-of: tunnel throughput varies several-fold
-    # run to run (see CLAUDE.md) and the steady-state capability is what the
-    # metric claims. Each pass gets a fresh system (feeding frames out of
-    # order into one system breaks pose continuity); the process-wide jit
-    # cache makes the second pass's warmup cheap.
     from gf_orb_slam_tpu.retrieval import vocabulary as voc_mod
 
     voc = voc_mod.load_default_vocabulary()
@@ -87,43 +83,53 @@ def main():
             s.set_vocabulary(voc)  # packaged pretrained tree (ref ORBvoc)
         return s
 
-    measured = n_frames - warmup_frames
-    pass_fps = []
-    for _ in range(2):
-        system = make_system(cfg)
-        # Warmup: initialization + first compiles, including the
-        # loop-detection program that otherwise first compiles mid-sequence
-        # (once n_kf crosses loop_min_kf_gap) and would bill ~seconds of XLA
-        # compile to one frame.
-        for i in range(warmup_frames):
-            system.process(frames[i], float(ts[i]))
-        system.flush()
-        system.warmup_compile()
+    # Tunnel-variance discipline (round-2 lesson: the recorded number swung
+    # 55→24 fps for reasons unrelated to the code): GF-on and GF-off systems
+    # process the SAME frames in INTERLEAVED windows within one process, so
+    # tunnel drift hits both lines equally; the first measured window of each
+    # system is dropped (warm-hit guard) and the reported value is the MEDIAN
+    # over the remaining windows (robust to a one-window tunnel stall; a
+    # max-of-windows would overstate, a single long pass is hostage to any
+    # stall inside it).
+    system_on = make_system(cfg)
+    system_off = make_system(cfg.__class__(**{**cfg.__dict__, "use_gf": False}))
+    for i in range(warmup_frames):
+        system_on.process(frames[i], float(ts[i]))
+        system_off.process(frames[i], float(ts[i]))
+    for s in (system_on, system_off):
+        s.flush()
+        s.warmup_compile()
 
-        t0 = time.perf_counter()
-        for i in range(warmup_frames, n_frames):
-            system.process(frames[i], float(ts[i]))
-        system.flush()
-        jax.block_until_ready(system.map.kf_pose)
-        elapsed = time.perf_counter() - t0
-        pass_fps.append(measured / elapsed if elapsed > 0 else 0.0)
+    win_on, win_off = [], []
+    w_starts = list(range(warmup_frames, n_frames, window))
+    for wi, w0 in enumerate(w_starts):
+        w1 = min(w0 + window, n_frames)
+        # Alternate A/B order each window to cancel drift bias.
+        order = (
+            [(system_on, win_on), (system_off, win_off)]
+            if wi % 2 == 0
+            else [(system_off, win_off), (system_on, win_on)]
+        )
+        for sysm, acc in order:
+            t0 = time.perf_counter()
+            for i in range(w0, w1):
+                sysm.process(frames[i], float(ts[i]))
+            acc.append((w1 - w0) / max(time.perf_counter() - t0, 1e-9))
+    for s in (system_on, system_off):
+        s.flush()
+        jax.block_until_ready(s.map.kf_pose)
+
+    def median(xs):
+        xs = sorted(xs)
+        return xs[len(xs) // 2]
+
+    fps = median(win_on[1:]) if len(win_on) > 1 else win_on[0]
+    fps_gf_off = median(win_off[1:]) if len(win_off) > 1 else win_off[0]
+    measured = n_frames - warmup_frames
+    system = system_on
     n_tracked = sum(
         1 for lg in system.logs[warmup_frames:] if lg.pose_cw is not None
     )
-    fps = max(pass_fps)
-
-    # Secondary line: plain ORB-SLAM path (GF off), one pass.
-    system_off = make_system(cfg.__class__(**{**cfg.__dict__, "use_gf": False}))
-    for i in range(warmup_frames):
-        system_off.process(frames[i], float(ts[i]))
-    system_off.flush()
-    system_off.warmup_compile()
-    t0 = time.perf_counter()
-    for i in range(warmup_frames, n_frames):
-        system_off.process(frames[i], float(ts[i]))
-    system_off.flush()
-    jax.block_until_ready(system_off.map.kf_pose)
-    fps_gf_off = measured / (time.perf_counter() - t0)
 
     # Device-only throughput: chain 20 fused tracking dispatches (each
     # consuming the previous pose) with a single final fetch — measures the
@@ -171,7 +177,8 @@ def main():
                     "map_points": int(system.map.pt_valid.sum()),
                     "keyframes": system.n_kf,
                     "device": str(jax.devices()[0]),
-                    "pass_fps": [round(f, 2) for f in pass_fps],
+                    "window_fps_gf_on": [round(f, 2) for f in win_on],
+                    "window_fps_gf_off": [round(f, 2) for f in win_off],
                     "device_only_fps": round(device_fps, 2),
                     "note": "device_only_fps amortizes host-link RTT (local-chip capability)",
                 },

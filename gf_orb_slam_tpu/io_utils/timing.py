@@ -23,6 +23,8 @@ STAGES = (
     "local_map_track",
     "gf_selection",
     "keyframe_insert",
+    "triangulation",
+    "fusion",
     "local_ba",
     "loop_closing",
     "total",
@@ -42,26 +44,33 @@ class TimeLog:
         self.frames: list[FrameTiming] = []
         self._current: FrameTiming | None = None
         self._t0: float = 0.0
-        self._stage_start: float = 0.0
-        self._stage: str | None = None
+        # Stage stack: stages nest (loop closing finalizes inside the tracked
+        # frame's window), so begin/end must be re-entrant.
+        self._stack: list[tuple[str, float]] = []
+        # On-chip per-stage attribution from io_utils/stage_probe.py: the
+        # fused per-frame/per-insertion programs expose only one host wall
+        # time each, so the inner stages (gf_selection, triangulation,
+        # fusion, local_ba, ...) are measured by chained-dispatch deltas of
+        # program variants and attached here.
+        self.device_stages_ms: dict | None = None
 
     def start_frame(self, timestamp: float):
         self._current = FrameTiming(timestamp=timestamp)
         self._t0 = time.perf_counter()
 
     def begin(self, stage: str):
-        self._stage = stage
-        self._stage_start = time.perf_counter()
+        self._stack.append((stage, time.perf_counter()))
 
     def end(self, stage: str | None = None):
-        if self._current is None or self._stage is None:
+        if self._current is None or not self._stack:
             return
-        name = stage or self._stage
-        dt = (time.perf_counter() - self._stage_start) * 1e3
+        name, t0 = self._stack.pop()
+        name = stage or name
+        dt = (time.perf_counter() - t0) * 1e3
         self._current.stages_ms[name] = self._current.stages_ms.get(name, 0.0) + dt
-        self._stage = None
 
     def end_frame(self, lmk_tracked: int = 0, lmk_inlier: int = 0):
+        self._stack.clear()
         if self._current is None:
             return
         self._current.stages_ms["total"] = (time.perf_counter() - self._t0) * 1e3
@@ -77,6 +86,14 @@ class TimeLog:
             for fr in self.frames:
                 cols = " ".join(f"{fr.stages_ms.get(s, 0.0):.3f}" for s in STAGES)
                 f.write(f"{fr.timestamp:.6f} {cols} {fr.lmk_tracked} {fr.lmk_inlier}\n")
+            if self.device_stages_ms:
+                f.write(
+                    "#device-stage "
+                    + " ".join(
+                        f"{k}={v:.3f}" for k, v in self.device_stages_ms.items()
+                    )
+                    + "\n"
+                )
 
     def summary(self) -> dict:
         if not self.frames:
@@ -91,4 +108,6 @@ class TimeLog:
                 "median_ms": vals[len(vals) // 2],
                 "max_ms": vals[-1],
             }
+            if self.device_stages_ms and s in self.device_stages_ms:
+                out[s]["device_ms"] = self.device_stages_ms[s]
         return out

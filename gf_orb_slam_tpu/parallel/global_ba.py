@@ -6,17 +6,24 @@ GlobalBundleAdjustemnt (src/Optimizer.cc:28-142), designed for pod-scale maps
 (BASELINE.json configs 4-5, ≥70% scaling efficiency at 2+ hosts):
 
 * Keyframes (and their observation rows) are sharded over the mesh axis
-  'kf'; points are replicated (P·3 floats is tiny next to observations).
+  'kf'; point POSITIONS are replicated (P·3 floats is tiny next to
+  observations) but all O(P) point WORK is sharded over the same axis.
 * Point normal-equation blocks V_p, g_p are formed shard-locally and
-  combined with one psum — the only O(P) collective per LM iteration.
+  combined with one reduce_scatter (psum_scatter) over the point dimension:
+  each shard owns a P/d slice of the summed blocks, inverts only its slice
+  (batched 3×3), and applies V⁻¹ locally — the (P,3,3) block never crosses
+  the mesh fully-replicated (half the bandwidth of the old full psum, and
+  the V-inversion/back-substitution flops drop by 1/d).
 * The reduced camera system S = U − Σ_p W V⁻¹ Wᵀ is never materialized
   (its cross-camera blocks couple cameras on different shards). Instead the
   CG solve applies S matrix-free:
       S·v  =  U·v − Σ_p W_p V_p⁻¹ (Σ_d W_pdᵀ v_d)
   where the inner per-point accumulation Σ_d W_pdᵀ v_d is a shard-local
-  scatter-add followed by one psum of a (P, 3) array. One small psum per CG
-  iteration rides ICI; everything else is local einsum — exactly the
-  'annotate shardings, let XLA insert collectives' recipe.
+  scatter-add followed by one psum_scatter of a (P, 3) array; the V⁻¹
+  application runs on the local slice and one all_gather of the (P, 3)
+  result re-replicates it for the edge gather. reduce_scatter + all_gather
+  moves the same bytes as the old psum, so the CG collective cost is
+  unchanged while its O(P) compute drops by 1/d.
 * Block-Jacobi preconditioner (damped U⁻¹, shard-local).
 
 All collectives are expressed with jax.lax.psum inside shard_map, so the same
@@ -73,17 +80,35 @@ def _make_step(cam: CameraModel, n_pcg_iters: int, lam_pt: float):
         U = jnp.einsum("cnri,cn,cnrj->cij", Jpose, w_pose, Jpose)
         g_c = jnp.einsum("cnri,cn,cnr->ci", Jpose, w_pose, r)
 
-        # --- point blocks (psum over shards) ---
+        # --- point blocks: reduce_scatter over the point dimension so each
+        # shard owns (and inverts) only its P/d slice of V ---
+        d_ax = jax.lax.axis_size(AXIS)
+        me = jax.lax.axis_index(AXIS)
+        P_loc = P_cap // d_ax
         V_loc = jnp.einsum("cnri,cn,cnrj->cnij", Jpt, w, Jpt)
         gp_loc = jnp.einsum("cnri,cn,cnr->cni", Jpt, w, r)
-        V = jax.lax.psum(_scatter_point(V_loc, lp, ok, P_cap, 9), AXIS)
-        g_p = jax.lax.psum(_scatter_point(gp_loc, lp, ok, P_cap, 3), AXIS)
+        V_s = jax.lax.psum_scatter(
+            _scatter_point(V_loc, lp, ok, P_cap, 9), AXIS,
+            scatter_dimension=0, tiled=True,
+        )                                                     # (P/d, 3, 3)
+        gp_s = jax.lax.psum_scatter(
+            _scatter_point(gp_loc, lp, ok, P_cap, 3), AXIS,
+            scatter_dimension=0, tiled=True,
+        )                                                     # (P/d, 3)
+        pv_s = jax.lax.dynamic_slice_in_dim(
+            point_valid, me * P_loc, P_loc, axis=0
+        )
 
-        V_d = V + (lam * jnp.maximum(
-            jnp.diagonal(V, axis1=-2, axis2=-1), 1e-6
+        V_d = V_s + (lam * jnp.maximum(
+            jnp.diagonal(V_s, axis1=-2, axis2=-1), 1e-6
         ))[:, :, None] * jnp.eye(3) + lam_pt * jnp.eye(3)
-        Vinv = linalg.inv3(V_d)
-        Vinv = jnp.where(point_valid[:, None, None], Vinv, 0.0)
+        Vinv_s = linalg.inv3(V_d)
+        Vinv_s = jnp.where(pv_s[:, None, None], Vinv_s, 0.0)
+
+        def vinv_apply_gather(a_s):
+            """V⁻¹ on the local point slice, re-replicated as (P, 3)."""
+            va = jnp.einsum("pij,pj->pi", Vinv_s, a_s)
+            return jax.lax.all_gather(va, AXIS, axis=0, tiled=True)
 
         # Per-edge W blocks (pose×point coupling), shard-local.
         W_edge = jnp.einsum("cnri,cn,cnrj->cnij", Jpose, w_pose, Jpt)
@@ -96,22 +121,26 @@ def _make_step(cam: CameraModel, n_pcg_iters: int, lam_pt: float):
         eye6 = jnp.eye(6)
         M_inv = jnp.where(fixed[:, None, None], eye6[None], M_inv)
 
-        def point_accum(v):
-            """a_p = Σ_d W_pdᵀ v_d — scatter + psum (the per-iteration collective)."""
+        def point_accum_scatter(v):
+            """a_p = Σ_d W_pdᵀ v_d — scatter + psum_scatter: each shard gets
+            its P/d slice of the global accumulation (the per-iteration
+            collective)."""
             contrib = jnp.einsum("cnij,ci->cnj", W_edge, v)  # (C,N,3)
-            return jax.lax.psum(_scatter_point(contrib, lp, ok, P_cap, 3), AXIS)
+            return jax.lax.psum_scatter(
+                _scatter_point(contrib, lp, ok, P_cap, 3), AXIS,
+                scatter_dimension=0, tiled=True,
+            )
 
         def S_apply(v):
             """S v, shard-local rows."""
-            a = point_accum(v)                                  # (P, 3)
-            Va = jnp.einsum("pij,pj->pi", Vinv, a)              # (P, 3)
+            Va = vinv_apply_gather(point_accum_scatter(v))      # (P, 3)
             back = jnp.einsum("cnij,cnj->cni", W_edge, Va[lp] * ok[..., None])
             Uv = jnp.einsum("cij,cj->ci", U_d, v)
             Sv = Uv - jnp.sum(back, axis=1)
             return jnp.where(fixed[:, None], v, Sv)  # identity rows for fixed
 
         # RHS: b = g_c − Y g_p (shard-local rows).
-        Vg = jnp.einsum("pij,pj->pi", Vinv, g_p)
+        Vg = vinv_apply_gather(gp_s)
         b = g_c - jnp.sum(
             jnp.einsum("cnij,cnj->cni", W_edge, Vg[lp] * ok[..., None]), axis=1
         )
@@ -144,9 +173,10 @@ def _make_step(cam: CameraModel, n_pcg_iters: int, lam_pt: float):
         )
         delta_c = jnp.where(fixed[:, None], 0.0, delta_c)
 
-        # --- back-substitute points: δX = V⁻¹ (g_p − Σ_c W_pcᵀ δξ_c) ---
-        a = point_accum(delta_c)
-        delta_p = jnp.einsum("pij,pj->pi", Vinv, g_p - a)
+        # --- back-substitute points: δX = V⁻¹ (g_p − Σ_c W_pcᵀ δξ_c),
+        # computed on the local P/d slice and re-replicated ---
+        a_s = point_accum_scatter(delta_c)
+        delta_p = vinv_apply_gather(gp_s - a_s)
         delta_p = jnp.where(point_valid[:, None], delta_p, 0.0)
 
         # --- apply + accept/reject (cost via psum) ---
@@ -189,8 +219,17 @@ def distributed_bundle_adjust(
     """Run keyframe-sharded global BA on a device mesh.
 
     prob arrays follow solvers/local_ba.BAProblem; the camera dimension C must
-    be divisible by the mesh size. Points/validity are replicated.
+    be divisible by the mesh size. Point positions/validity are replicated;
+    point WORK is sharded, so the point capacity is padded here to a multiple
+    of the mesh size (padding slots are invalid and referenced by no edge).
     """
+    d = mesh.devices.size
+    pad = (-prob.points.shape[0]) % d
+    if pad:
+        prob = prob._replace(
+            points=jnp.pad(prob.points, ((0, pad), (0, 0))),
+            point_valid=jnp.pad(prob.point_valid, (0, pad)),
+        )
     step = _make_step(cam, n_pcg_iters, lam_pt)
 
     cam_spec = P(AXIS)
@@ -230,6 +269,8 @@ def distributed_bundle_adjust(
         prob.poses, prob.fixed, prob.obs_uv, prob.obs_point, prob.obs_w,
         prob.points, prob.point_valid,
     )
+    if pad:
+        points = points[:-pad]
     return BAResult(poses=poses, points=points, obs_active=final_active, cost=cost)
 
 

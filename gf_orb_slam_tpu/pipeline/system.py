@@ -128,6 +128,15 @@ class SlamSystem:
         self.bow_db: kdb.BowDatabase | None = None
         self.loop_detector = loop_closing.LoopDetector()
         self.n_loops_closed = 0
+        # Loop-recall evaluation hook (synthetic GT only): a callable
+        # (frame_id_query, frame_id_old) -> bool "GT frusta overlap". When
+        # set, every loop-detection round appends an event to loop_events
+        # recording whether a genuine revisit OPPORTUNITY existed (an old,
+        # covisibility-disconnected keyframe viewing the same GT region) and
+        # whether a closure fired — the numerator/denominator of loop recall
+        # (tools/loop_recall.py).
+        self.loop_gt_overlap = None
+        self.loop_events: list[dict] = []
         self.lost_frames = 0
         self._inflight = []  # deque of dispatched-but-unfinalized frames
         self._pending_kf = []  # deferred keyframe-insertion finalizations
@@ -543,6 +552,25 @@ class SlamSystem:
         def covis_row_of(c):
             return np.nonzero(covis_np[c] > 15)[0].tolist()
 
+        event = None
+        if self.loop_gt_overlap is not None:
+            # Revisit opportunity: an old keyframe with NO direct covisibility
+            # to the query whose GT frustum overlaps the query's (loops only
+            # matter when the tracker cannot re-match old points directly —
+            # SLAM-behavior note, CLAUDE.md round 2).
+            fid = np.asarray(self.map.kf_frame_id)
+            kfv = np.asarray(self.map.kf_valid)
+            q_fid = int(fid[kf_int])
+            opp = any(
+                covis_np[kf_int, k] <= 0
+                and self.loop_gt_overlap(q_fid, int(fid[k]))
+                for k in np.nonzero(kfv)[0]
+                if k < kf_int - self.cfg.loop_min_kf_gap
+            )
+            event = {"kf": kf_int, "frame": q_fid, "opportunity": bool(opp),
+                     "closed": False, "matched_kf": None}
+            self.loop_events.append(event)
+
         consistent = self.loop_detector.update(cand_np, ok_np, covis_row_of)
         for c in consistent:
             lm = loop_closing.verify_candidate(
@@ -569,6 +597,9 @@ class SlamSystem:
             self.track_view = tv.compute_track_view(
                 self.map, jnp.asarray(kf_int), view_size=self.cfg.view_size
             )
+            if event is not None:
+                event["closed"] = True
+                event["matched_kf"] = int(c)
             return True
         return False
 
@@ -662,7 +693,9 @@ class SlamSystem:
             if culled >= 0 and self.bow_db is not None:
                 self.bow_db = kdb.erase_keyframe(self.bow_db, jnp.asarray(culled))
             if "cand" in p:
+                self.time_log.begin("loop_closing")
                 self._try_close_loop(int(kf_np), p)
+                self.time_log.end("loop_closing")
 
     # ------------------------------------------------------------------
     def _run_local_ba(self, m, kf_ids, fixed_ids, iters=(5, 10), row_active=None):

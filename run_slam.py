@@ -41,6 +41,14 @@ def main(argv=None):
                          "hybrid=13x13 [H;H*F], lazier=reference lazier-greedy, "
                          "auto=gain-floor budget, active=select-then-match, "
                          "random/longlive=ablation baselines")
+    ap.add_argument("--probe-stages", action="store_true",
+                    help="after the run, measure on-chip per-stage times "
+                         "(gf_selection/triangulation/fusion/local_ba/...) by "
+                         "chained-dispatch deltas and record them in the "
+                         "TimeLog + result JSON")
+    ap.add_argument("--gf-warmup", type=int, default=-1,
+                    help="frames after init before GF activates (ref: GF off "
+                         "first 5 s, Tracking.h:104); -1 keeps the config default")
     ap.add_argument("--n-features", type=int, default=0, help="override ORB feature count")
     ap.add_argument("--max-frames", type=int, default=0, help="cap processed frames")
     ap.add_argument("--out", default="results/run", help="output prefix")
@@ -49,6 +57,10 @@ def main(argv=None):
                     help="frames in flight (>1 hides fetch RTT; 0 = synchronous)")
     ap.add_argument("--save-map", help="write a map snapshot (.npz) at sequence end")
     ap.add_argument("--load-map", help="resume from a map snapshot (relocalize-only start)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="SLAM PRNG seed (RANSAC/lazier sampling) — the "
+                         "statistical-rounds axis of the reference's protocol "
+                         "(Run_EuRoC.py:34-43, 10 rounds per config)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -84,12 +96,17 @@ def main(argv=None):
         cfg.use_gf = True
         cfg.gf_budget = args.gf_budget
         cfg.gf_mode = args.gf_mode
+    if args.gf_warmup >= 0:
+        cfg.gf_warmup_frames = args.gf_warmup
     if args.pipeline > 1:
         cfg.pipelined = True
         cfg.pipeline_depth = args.pipeline
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     system = SlamSystem(cam, cfg)
+    if args.seed:
+        system._seed = args.seed
+        system._key = jax.random.PRNGKey(args.seed)
     from gf_orb_slam_tpu.retrieval import vocabulary as voc_mod
 
     if args.vocabulary:
@@ -141,8 +158,10 @@ def main(argv=None):
         frames = _frames()
 
     n = 0
+    last_img = None
     for t, img in frames:
         log = system.process(jnp.asarray(img, jnp.float32), t)
+        last_img = img
         n += 1
         if n % 50 == 0:
             print(f"[{n}] {log.state} inliers={log.n_inliers} "
@@ -150,6 +169,14 @@ def main(argv=None):
         if args.max_frames and n >= args.max_frames:
             break
     system.flush()
+
+    if args.probe_stages and system.state.name == "WORKING" and last_img is not None:
+        # On-chip per-stage attribution (ref TimeLog's ~25 stage fields,
+        # Util.hpp:179-264): chained-dispatch deltas of fused-program
+        # variants, attached to the TimeLog and the result JSON.
+        from gf_orb_slam_tpu.io_utils.stage_probe import probe_device_stages
+
+        probe_device_stages(system, jnp.asarray(last_img, jnp.float32))
 
     est_ts, est_poses = system.get_trajectory()
     evaluation.write_tum_trajectory(f"{args.out}_AllFrameTrajectory.txt", est_ts, est_poses)

@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Loop-closure RECALL measurement on the synthetic room circuit.
+
+The reference never measures recall (its loop evidence is qualitative); the
+synthetic circuit's exact GT makes it free: the camera's viewing direction is
+θ(frame) = 2π·revs·frame/n, so two frames' frusta overlap iff their angular
+difference (mod 2π) is small. A revisit OPPORTUNITY is a keyframe whose GT
+view overlaps an old (≥ loop_min_kf_gap) keyframe with NO direct covisibility
+to it — exactly when the tracker cannot re-match old points and a loop
+closure is the only mechanism that can reconnect the map (ref LoopClosing
+detection gates: src/LoopClosing.cc:111-238, KeyFrameDatabase.cc:75-196).
+
+Consecutive opportunity keyframes collapse into EPISODES (one revisit = one
+needed closure). Reported per {scene × seed}:
+  recall          = closed episodes / episodes
+  false closures  = closures whose matched keyframe's GT view does NOT
+                    overlap the query's (a geometrically wrong loop)
+
+Usage:
+  python tools/loop_recall.py --seeds 5 --cpu            # circuit (1.1 revs)
+  python tools/loop_recall.py --endurance --seeds 3      # 2.2 revolutions
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_one(seed: int, n_frames: int, revs: float, use_gf: bool, budget: int):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gf_orb_slam_tpu.geometry.camera import EUROC_CAM
+    from gf_orb_slam_tpu.io_utils import synthetic
+    from gf_orb_slam_tpu.pipeline.system import SlamConfig, SlamSystem
+    from gf_orb_slam_tpu.retrieval import vocabulary as voc_mod
+
+    cam = EUROC_CAM
+    scene = synthetic.make_room_scene(seed=0)
+    ts, poses_gt = synthetic.circuit_trajectory(
+        n_frames, fps=cam.fps, radius=4.0, revs=revs
+    )
+    cfg = SlamConfig(max_frames_between_kf=6, use_gf=use_gf, gf_budget=budget)
+    system = SlamSystem(cam, cfg)
+    voc = voc_mod.load_default_vocabulary()
+    if voc is not None:
+        system.set_vocabulary(voc)
+    system._seed = seed
+    import jax
+
+    system._key = jax.random.PRNGKey(seed)
+
+    theta = lambda fid: 2.0 * np.pi * revs * fid / n_frames  # noqa: E731
+
+    def gt_overlap(fid_q: int, fid_k: int, max_deg: float = 25.0) -> bool:
+        d = abs(theta(fid_q) - theta(fid_k)) % (2.0 * np.pi)
+        d = min(d, 2.0 * np.pi - d)
+        return d < np.deg2rad(max_deg)
+
+    system.loop_gt_overlap = gt_overlap
+
+    for i in range(n_frames):
+        img = synthetic.render_general(scene, cam, jnp.asarray(poses_gt[i]))
+        system.process(img, float(ts[i]))
+    system.flush()
+
+    # Collapse consecutive opportunity events into episodes.
+    episodes, cur = [], None
+    for ev in system.loop_events:
+        if ev["opportunity"]:
+            if cur is None:
+                cur = {"events": [ev], "closed": ev["closed"]}
+            else:
+                cur["events"].append(ev)
+                cur["closed"] = cur["closed"] or ev["closed"]
+        else:
+            if cur is not None:
+                episodes.append(cur)
+                cur = None
+    if cur is not None:
+        episodes.append(cur)
+
+    fid = np.asarray(system.map.kf_frame_id)
+    false_closures = 0
+    for ev in system.loop_events:
+        if ev["closed"] and ev["matched_kf"] is not None:
+            if not gt_overlap(ev["frame"], int(fid[ev["matched_kf"]]), max_deg=45.0):
+                false_closures += 1
+
+    return {
+        "seed": seed,
+        "frames": n_frames,
+        "revs": revs,
+        "state": system.state.name,
+        "keyframes": system.n_kf,
+        "episodes": len(episodes),
+        "closed_episodes": sum(1 for e in episodes if e["closed"]),
+        "closures": system.n_loops_closed,
+        "false_closures": false_closures,
+        "events": len(system.loop_events),
+        "opportunity_events": sum(1 for e in system.loop_events if e["opportunity"]),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=5)
+    ap.add_argument("--frames", type=int, default=420)
+    ap.add_argument("--revs", type=float, default=1.15)
+    ap.add_argument("--endurance", action="store_true",
+                    help="2.2 revolutions (two revisit episodes per run)")
+    ap.add_argument("--gf-budget", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    if args.endurance:
+        args.frames, args.revs = 800, 2.2
+
+    rows = []
+    for seed in range(args.seeds):
+        r = run_one(seed, args.frames, args.revs,
+                    use_gf=args.gf_budget > 0, budget=args.gf_budget)
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+
+    total_ep = sum(r["episodes"] for r in rows)
+    closed = sum(r["closed_episodes"] for r in rows)
+    summary = {
+        "runs": rows,
+        "episodes": total_ep,
+        "closed_episodes": closed,
+        "recall": closed / total_ep if total_ep else None,
+        "false_closures": sum(r["false_closures"] for r in rows),
+    }
+    print(json.dumps({k: v for k, v in summary.items() if k != "runs"}))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
