@@ -47,8 +47,13 @@ def main():
         for budget in args.budgets:
             for rnd in range(args.rounds):
                 prefix = os.path.join(args.out_dir, f"{name}_gf{budget}_r{rnd}")
+                # Rounds vary both the SLAM PRNG seed and the scene instance:
+                # the pipeline is deterministic given the seed (static compute
+                # budgets replace the reference's thread-timing nondeterminism)
+                # so re-running one sequence would measure nothing.
                 argv = ["--out", prefix, "--gf-budget", str(budget),
-                        "--gf-mode", args.gf_mode, "--seed", str(rnd)]
+                        "--gf-mode", args.gf_mode, "--seed", str(rnd),
+                        "--scene-seed", str(rnd)]
                 if args.cpu:
                     argv.append("--cpu")
                 if args.probe_stages and rnd == 0:

@@ -154,7 +154,17 @@ def greedy_maxlogdet_lowrank(
         G = jnp.einsum("dnr,dns->nrs", Yn, Yn)
         gains = _logdet_eye_plus(G)
         gains = jnp.where(valid & ~selected, gains, -jnp.inf)
-        top_g, picks = jax.lax.top_k(gains, B)
+        # argmax / approx top-B, not exact top_k: a full 4096-element sort
+        # inside every scan round is the single most expensive op here, and
+        # gains are non-negative with -inf masking, so the 95%-recall partial
+        # reduction only ever swaps near-tied picks (quality bounded by the
+        # same regression tests as the batch knob itself).
+        if B == 1:
+            picks = jnp.argmax(gains)[None].astype(jnp.int32)
+            top_g = gains[picks]
+        else:
+            top_g, picks = jax.lax.approx_max_k(gains, B)
+            picks = picks.astype(jnp.int32)
         take = jnp.isfinite(top_g) & (
             n_sel + jnp.arange(B, dtype=jnp.int32) < k
         )

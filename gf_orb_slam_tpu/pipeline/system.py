@@ -53,7 +53,12 @@ class SlamConfig:
     gf_mode: str = "subset"         # "subset" | "hybrid" | "lazier" | "auto" |
                                     # "active" | "random" | "longlive"
     gf_budget: int = 100
-    gf_batch: int = 5               # picks per selection round (latency knob)
+    gf_batch: int = 10              # picks per greedy round: rounds = k/batch,
+                                    # and the scan's per-round latency floor —
+                                    # not the math — is the GF cost on TPU.
+                                    # Joint top-10 commits measure <0.01 logdet
+                                    # degradation vs pick-at-a-time exact
+                                    # greedy (tests/test_gf.py)
     gf_warmup_frames: int = 40      # ref: GF off for ~5s after init (Tracking.h:104)
     max_frames_between_kf: int = 12  # ref mMaxFrames = 18*fps/30, scaled down
     ba_window: int = 8              # local BA camera window

@@ -61,6 +61,11 @@ def main(argv=None):
                     help="SLAM PRNG seed (RANSAC/lazier sampling) — the "
                          "statistical-rounds axis of the reference's protocol "
                          "(Run_EuRoC.py:34-43, 10 rounds per config)")
+    ap.add_argument("--scene-seed", type=int, default=0,
+                    help="synthetic scene texture seed: the pipeline is "
+                         "deterministic given --seed (static compute budgets), "
+                         "so independent scene instances are the meaningful "
+                         "statistical axis for mean±std ATE")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -126,7 +131,7 @@ def main(argv=None):
     gt_positions = None
     if args.synthetic:
         if args.scene == "room":
-            scene = synthetic.make_room_scene(seed=0)
+            scene = synthetic.make_room_scene(seed=args.scene_seed)
             # Constant ~1.3-1.45°/frame (tracking-safe); ≥~270 frames makes a
             # full revolution and the loop can close.
             ts, poses_gt = synthetic.circuit_trajectory(
@@ -135,7 +140,7 @@ def main(argv=None):
             )
             render = synthetic.render_general
         else:
-            scene = synthetic.make_scene(seed=0)
+            scene = synthetic.make_scene(seed=args.scene_seed)
             ts, poses_gt = synthetic.trajectory(args.synthetic, fps=cam.fps)
             render = synthetic.render
         frames = ((float(ts[i]), render(scene, cam, jnp.asarray(poses_gt[i])))

@@ -95,13 +95,16 @@ def main(which=None):
             system.velocity, jnp.asarray(0.05, jnp.float32), key)
         return r.n_inliers.astype(jnp.float32) + r.pose[4]
 
-    def s_fused_gf(img):
-        r = trk.track_frame_fused(
-            cam, cfg, system.map, system.track_view, img,
-            system.last_pose, system.last_obs, system.last_frame.uv,
-            system.velocity, jnp.asarray(0.05, jnp.float32), key,
-            use_gf=True, gf_budget=100)
-        return r.n_inliers.astype(jnp.float32) + r.pose[4]
+    def s_fused_gf(batch, budget=100):
+        def run(img):
+            r = trk.track_frame_fused(
+                cam, cfg, system.map, system.track_view, img,
+                system.last_pose, system.last_obs, system.last_frame.uv,
+                system.velocity, jnp.asarray(0.05, jnp.float32), key,
+                use_gf=True, gf_budget=budget, gf_batch=batch)
+            return r.n_inliers.astype(jnp.float32) + r.pose[4]
+
+        return run
 
     stages = [
         ("pyramid", s_pyramid),
@@ -110,7 +113,11 @@ def main(which=None):
         ("pyr+blur", s_blur),
         ("extract_full", s_extract),
         ("fused_track", s_fused),
-        ("fused_track_gf", s_fused_gf),
+        ("fused_track_gf", s_fused_gf(1)),          # batch=1: k rounds
+        ("fused_gf_b5", s_fused_gf(5)),             # production default
+        ("fused_gf_b10", s_fused_gf(10)),
+        ("fused_gf_b5_k60", s_fused_gf(5, 60)),
+        ("fused_gf_b5_k200", s_fused_gf(5, 200)),
     ]
     if which:
         stages = [(n, f) for n, f in stages if n in which]
