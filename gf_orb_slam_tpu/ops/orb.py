@@ -279,6 +279,118 @@ def brief_descriptors_flat(
 
 
 # ---------------------------------------------------------------------------
+# Patch-matmul orientation + descriptors (the production extract_orb path)
+# ---------------------------------------------------------------------------
+
+_PATCH_R = int(np.abs(_ROT_PATTERNS).max())  # rotated sample reach (≤ 13·√2)
+_PATCH_W = 2 * _PATCH_R + 1
+_PATCH_AREA = _PATCH_W * _PATCH_W
+
+
+def _pair_diff_matrix() -> np.ndarray:
+    """(PATCH_AREA, 30·256) int8: each column holds +1 at sample point p and
+    −1 at q for one (rotation bin, bit) pair, so `patch @ D` evaluates
+    I(p) − I(q) for every bit of every rotation bin in one MXU matmul."""
+    D = np.zeros((_PATCH_AREA, N_ROT_BINS * N_BITS), np.int8)
+    for b in range(N_ROT_BINS):
+        for j in range(N_BITS):
+            (px, py), (qx, qy) = _ROT_PATTERNS[b, j]
+            col = b * N_BITS + j
+            D[(py + _PATCH_R) * _PATCH_W + (px + _PATCH_R), col] += 1
+            D[(qy + _PATCH_R) * _PATCH_W + (qx + _PATCH_R), col] -= 1
+    return D
+
+
+def _patch_moment_masks_i8() -> np.ndarray:
+    """(PATCH_AREA, 2) int8 x-/y-weighted radius-15 disc masks in patch
+    coordinates (weights ∈ [−15, 15] fit int8)."""
+    ys, xs = np.mgrid[-_PATCH_R : _PATCH_R + 1, -_PATCH_R : _PATCH_R + 1]
+    disc = (xs * xs + ys * ys) <= HALF_PATCH * HALF_PATCH
+    return (
+        np.stack([xs * disc, ys * disc], axis=-1)
+        .reshape(_PATCH_AREA, 2)
+        .astype(np.int8)
+    )
+
+
+def center_i8(img: jnp.ndarray) -> jnp.ndarray:
+    """f32 intensities → int8 I−128 (exact uchar semantics: the reference
+    samples the blurred 8-bit image, ORBextractor.cc:842-854)."""
+    return (jnp.clip(jnp.round(img), 0.0, 255.0) - 128.0).astype(jnp.int8)
+
+
+def patch_orientation_brief(
+    flat_blur_i8: jnp.ndarray, xy: jnp.ndarray,
+    base: jnp.ndarray, wl: jnp.ndarray, hl: jnp.ndarray,
+):
+    """(angles (N,), desc (N,8) uint32) from ONE patch gather + int8 matmuls.
+
+    Replaces the 512-element-per-keypoint descriptor gather + the row-integral
+    orientation path (TPU gathers are element-count bound, ~8 ns/element, so
+    512·N scalar gathers ≈ 3.3 ms/frame at N=800): gather each keypoint's
+    37×37 blurred patch as 37 CONTIGUOUS row slices (slice gathers move whole
+    lanes, not elements), then
+
+      * IC moments = patch @ disc-masks — int8×int8→int32 on the MXU; the
+        disc is symmetric so Σx=Σy=0 over it and the −128 centering cancels
+        exactly (same m10/m01 as the reference's IC_Angle over the blurred
+        image, cc:131-160);
+      * all 30 rotation bins' BRIEF pair differences = patch @ D in one int8
+        MXU matmul (exact int32), bin-selected per keypoint by a one-hot
+        multiply-sum — no gather at all.
+
+    Orientation is computed from the BLURRED patch (the reference uses the raw
+    image); Gaussian blur is rotationally symmetric so IC equivariance is
+    preserved, and the 12° steering bins absorb the small angle shift —
+    rotation-invariance and matching-quality tests gate this.
+    """
+    n = xy.shape[0]
+    xi = jnp.clip(xy[:, 0].astype(jnp.int32), _PATCH_R, wl - 1 - _PATCH_R)
+    yi = jnp.clip(xy[:, 1].astype(jnp.int32), _PATCH_R, hl - 1 - _PATCH_R)
+    dyv = jnp.arange(-_PATCH_R, _PATCH_R + 1, dtype=jnp.int32)
+    starts = (
+        base[:, None] + (yi[:, None] + dyv[None, :]) * wl[:, None]
+        + (xi - _PATCH_R)[:, None]
+    ).reshape(-1, 1)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+    )
+    rows = jax.lax.gather(
+        flat_blur_i8, starts, dn, slice_sizes=(_PATCH_W,),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )
+    patch = rows.reshape(n, _PATCH_AREA)  # int8: I − 128
+
+    m = jax.lax.dot(
+        patch, jnp.asarray(_patch_moment_masks_i8()),
+        preferred_element_type=jnp.int32,
+    )  # (N, 2) = [m10, m01], exact
+    ang = jnp.arctan2(m[:, 1].astype(jnp.float32), m[:, 0].astype(jnp.float32))
+    ang = jnp.where(ang < 0, ang + 2.0 * jnp.pi, ang)
+    bins = jnp.clip(
+        jnp.round(ang * (N_ROT_BINS / (2.0 * jnp.pi))).astype(jnp.int32)
+        % N_ROT_BINS,
+        0, N_ROT_BINS - 1,
+    )
+
+    diffs = jax.lax.dot(
+        patch, jnp.asarray(_pair_diff_matrix()),
+        preferred_element_type=jnp.int32,
+    ).reshape(n, N_ROT_BINS, N_BITS)
+    onehot = (bins[:, None] == jnp.arange(N_ROT_BINS)[None, :]).astype(jnp.int32)
+    sel = jnp.sum(diffs * onehot[:, :, None], axis=1)  # exact: picks one bin
+    bits = sel < 0  # I(p) < I(q), strict — ties → 0, as in the gather path
+
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    desc = jnp.sum(
+        bits.reshape(n, N_WORDS, 32).astype(jnp.uint32) << shifts[None, None, :],
+        axis=-1,
+        dtype=jnp.uint32,
+    )
+    return ang, desc
+
+
+# ---------------------------------------------------------------------------
 # Full extractor
 # ---------------------------------------------------------------------------
 
@@ -293,6 +405,10 @@ class OrbConfig(NamedTuple):
     fast_threshold: float = 20.0
     fast_min_threshold: float = 7.0
     grid: int = 8
+    # Descriptor backend: patch-matmul (int8 MXU, production) vs the
+    # element-gather path (kept for A/B benchmarking and as the reference
+    # formulation for the rotation-invariance unit tests).
+    patch_desc: bool = True
 
 
 class Keypoints(NamedTuple):
@@ -365,28 +481,37 @@ def extract_orb(img: jnp.ndarray, cfg: OrbConfig) -> Keypoints:
         offset += h * w
         ioffset += h * (w + 1)
 
-    # Flattened pyramids: row-integral buffers for orientation moments (124
-    # gathered elements per keypoint — see ic_angles_rows) and a blurred
-    # buffer for descriptor sampling, each gathered ONCE for all levels.
-    S_parts, Sx_parts = [], []
-    for lv in used_levels:
-        S, Sx, _ = level_moment_integrals(levels[lv])
-        S_parts.append(S.reshape(-1))
-        Sx_parts.append(Sx.reshape(-1))
-    flat_S = jnp.concatenate(S_parts)
-    flat_Sx = jnp.concatenate(Sx_parts)
-    flat_blur = jnp.concatenate(
-        [pyr.gaussian_blur(levels[lv]).reshape(-1) for lv in used_levels]
-    )
     xy_all = jnp.concatenate(xs)
     base = jnp.asarray(np.concatenate(bases_np))
     wl = jnp.asarray(np.concatenate(wls_np))
     hl = jnp.asarray(np.concatenate(hls_np))
-    ibase = jnp.asarray(np.concatenate(ibases_np))
-    xc = jnp.asarray(np.concatenate(xcs_np))
 
-    ang = ic_angles_rows(flat_S, flat_Sx, xy_all, ibase, wl, hl, xc)
-    desc = brief_descriptors_flat(flat_blur, xy_all, ang, base, wl, hl)
+    if cfg.patch_desc:
+        # ONE int8 slice-gather of blurred 37×37 patches feeds orientation
+        # moments AND all-bin BRIEF via MXU matmuls (see
+        # patch_orientation_brief) — no row integrals, no element gathers.
+        flat_blur_i8 = jnp.concatenate(
+            [center_i8(pyr.gaussian_blur(levels[lv])).reshape(-1) for lv in used_levels]
+        )
+        ang, desc = patch_orientation_brief(flat_blur_i8, xy_all, base, wl, hl)
+    else:
+        # Flattened pyramids: row-integral buffers for orientation moments
+        # (124 gathered elements per keypoint — see ic_angles_rows) and a
+        # blurred buffer for descriptor sampling, gathered ONCE for all levels.
+        S_parts, Sx_parts = [], []
+        for lv in used_levels:
+            S, Sx, _ = level_moment_integrals(levels[lv])
+            S_parts.append(S.reshape(-1))
+            Sx_parts.append(Sx.reshape(-1))
+        flat_S = jnp.concatenate(S_parts)
+        flat_Sx = jnp.concatenate(Sx_parts)
+        flat_blur = jnp.concatenate(
+            [pyr.gaussian_blur(levels[lv]).reshape(-1) for lv in used_levels]
+        )
+        ibase = jnp.asarray(np.concatenate(ibases_np))
+        xc = jnp.asarray(np.concatenate(xcs_np))
+        ang = ic_angles_rows(flat_S, flat_Sx, xy_all, ibase, wl, hl, xc)
+        desc = brief_descriptors_flat(flat_blur, xy_all, ang, base, wl, hl)
 
     return Keypoints(
         uv=xy_all * jnp.asarray(np.concatenate(sfs))[:, None],

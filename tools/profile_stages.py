@@ -86,6 +86,15 @@ def main(which=None):
         kp = orb.extract_orb(img, cfg)
         return jnp.sum(kp.uv) + jnp.sum(kp.desc[:, 0].astype(jnp.float32))
 
+    # Element-gather descriptor backend (pre-r3 path) for A/B against the
+    # patch-matmul default.
+    cfg_gather = cfg._replace(patch_desc=False)
+
+    @jax.jit
+    def s_extract_gather(img):
+        kp = orb.extract_orb(img, cfg_gather)
+        return jnp.sum(kp.uv) + jnp.sum(kp.desc[:, 0].astype(jnp.float32))
+
     key = jax.random.PRNGKey(0)
 
     def s_fused(img):
@@ -112,6 +121,7 @@ def main(which=None):
         ("pyr+integrals", s_integrals),
         ("pyr+blur", s_blur),
         ("extract_full", s_extract),
+        ("extract_gather", s_extract_gather),
         ("fused_track", s_fused),
         ("fused_track_gf", s_fused_gf(1)),          # batch=1: k rounds
         ("fused_gf_b5", s_fused_gf(5)),             # production default
