@@ -23,3 +23,22 @@ Layer map (mirrors SURVEY.md section 1, reimagined TPU-first):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# JAX's DEFAULT f32 matmul precision on TPU is single-pass bfloat16 (8
+# mantissa bits). Image-path matmuls tolerate that, but the estimation stack
+# does not: normal-equation assembly (pose LM, Schur BA), information-matrix
+# whitening, and PCG all run through jnp matmuls/einsums, and bf16 Hessians
+# measurably corrupt accuracy on oblique geometry (room-circuit ATE 4.7 cm on
+# CPU vs ~17 cm on TPU with identical code, round 3). Full-f32 matmuls are
+# the correct framework default — the heavy f32 matmuls here (pyramid resize)
+# are a few GFLOP/frame, so the 3-pass cost is sub-ms, and the extraction hot
+# path is int8/explicit-bf16 and unaffected. Override via
+# GF_MATMUL_PRECISION={bfloat16,tensorfloat32,float32} for A/B measurement.
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("GF_MATMUL_PRECISION", "float32"),
+)

@@ -125,6 +125,47 @@ def _blob_texture(rng, tex_size):
     return np.clip(t, 0, 255)
 
 
+TEXTURE_STYLES = ("blobs", "stripes", "checker", "smooth", "mixed")
+
+
+def varied_texture(rng, tex_size: int = 1024, style: str | None = None):
+    """A texture drawn from one of several families, with random gain/bias
+    ("lighting"). Used to widen the vocabulary-training corpus beyond the
+    single blob family (VERDICT r2 item 8) — the descriptor statistics of
+    stripes/checker/smooth-gradient surfaces differ materially from blobs.
+    Not used by the deterministic benchmark scenes."""
+    if style is None:
+        style = TEXTURE_STYLES[rng.integers(len(TEXTURE_STYLES))]
+    if style == "blobs":
+        t = _blob_texture(rng, tex_size)
+    elif style == "stripes":
+        ang = rng.uniform(0, np.pi)
+        period = rng.uniform(12, 80)
+        yy, xx = np.mgrid[0:tex_size, 0:tex_size]
+        ph = (np.cos(ang) * xx + np.sin(ang) * yy) / period
+        t = 128.0 + 100.0 * np.sign(np.sin(2 * np.pi * ph))
+        t += rng.uniform(-15, 15, t.shape)
+    elif style == "checker":
+        cell = int(rng.integers(8, 48))
+        yy, xx = np.mgrid[0:tex_size, 0:tex_size]
+        t = np.where(((yy // cell) + (xx // cell)) % 2 == 0, 40.0, 215.0)
+        t += rng.uniform(-20, 20, t.shape)
+    elif style == "smooth":
+        # Band-limited noise: a coarse grid bilinearly upsampled, plus dots.
+        coarse = rng.uniform(30, 225, (tex_size // 32, tex_size // 32))
+        t = np.kron(coarse, np.ones((32, 32)))
+        for _ in range(tex_size // 4):
+            y, x = rng.integers(4, tex_size - 4, 2)
+            t[y - 2 : y + 3, x - 2 : x + 3] = rng.uniform(0, 255)
+    else:  # mixed: blobs over stripes
+        t = 0.5 * _blob_texture(rng, tex_size) + 0.5 * varied_texture(
+            rng, tex_size, "stripes"
+        )
+    gain = rng.uniform(0.55, 1.25)
+    bias = rng.uniform(-30, 30)
+    return np.clip(gain * (t - 128.0) + 128.0 + bias, 0, 255).astype(np.float32)
+
+
 def make_room_scene(
     seed: int = 0, half_size: float = 8.0, height: float = 5.0,
     tex_size: int = 1024,

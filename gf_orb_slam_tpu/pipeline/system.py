@@ -363,7 +363,20 @@ class SlamSystem:
         # had a full frame to cross the link, so this is normally free.
         self._finalize_insertions()
         depth = cfg.pipeline_depth if cfg.pipelined else 1
-        while len(self._inflight) >= depth or (not cfg.pipelined and self._inflight):
+        while self._inflight:
+            # Finalize as soon as a frame's scalars are actually computed
+            # (non-blocking is_ready probe): pipeline_depth is only
+            # BACKPRESSURE, not added latency. Keyframe decisions then lag by
+            # the true device/link latency (~2-3 frames through the tunnel)
+            # instead of a fixed `depth` frames — pipelined-mode drift on
+            # turning trajectories comes from exactly that decision lag.
+            if len(self._inflight) < depth and cfg.pipelined:
+                head = self._inflight[0][0].ok
+                try:
+                    if not head.is_ready():
+                        break
+                except AttributeError:
+                    break
             entry = self._inflight.pop(0)
             if not self._finalize_tracked(*entry):
                 break
@@ -437,11 +450,23 @@ class SlamSystem:
         log.n_inliers = n_inliers
         self.trajectory.append((timestamp, np.asarray(pose_np)))
 
-        if tracking.need_new_keyframe(
+        # Reference gate: NeedNewKeyFrame only inserts when LocalMapping is
+        # idle (Tracking.cc:3035-3077) — here, when no insertion is pending
+        # finalize. Pipelined mode additionally needs a min gap covering the
+        # dispatch lag: frames already in flight were tracked against the map
+        # WITHOUT the new keyframe's points, so the low-inlier trigger (c2)
+        # would re-fire every frame of the lag window and burst-insert
+        # near-co-located keyframes.
+        mapper_busy = bool(self._pending_kf)
+        # Adaptive: the lag is however many later frames are in flight right
+        # now (≈0 on a local device, 2-3 through the tunnel).
+        lag_gap = min(len(self._inflight), 4) if cfg.pipelined else 0
+        if not mapper_busy and tracking.need_new_keyframe(
             n_inliers, self.n_ref_tracked,
             frame_id - self.last_kf_frame,
             frame_id - self.last_reloc_frame if self.last_reloc_frame > 0 else 10**9,
             cfg.max_frames_between_kf,
+            min_frames=lag_gap,
         ):
             if self.n_kf >= self.cfg.max_keyframes - 2:
                 # Keyframe ids are slab slots; culling tombstones them but

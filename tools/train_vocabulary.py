@@ -22,7 +22,10 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def build_corpus(n_scenes: int, frames_per_scene: int, n_features: int = 800):
+def build_corpus(
+    n_scenes: int, frames_per_scene: int, n_features: int = 800,
+    varied: bool = False,
+):
     import jax.numpy as jnp
     import numpy as np
 
@@ -46,6 +49,16 @@ def build_corpus(n_scenes: int, frames_per_scene: int, n_features: int = 800):
             scene = synthetic.make_room_scene(seed=s)
             ts, poses = synthetic.circuit_trajectory(frames_per_scene, radius=4.0)
             cam, render = EUROC_CAM, synthetic.render_general
+        if varied:
+            # Swap in textures from the widened family set (stripes/checker/
+            # smooth/mixed + lighting variation) — corpus diversity, while the
+            # geometry and trajectory machinery stay the production ones.
+            rng = np.random.default_rng(1000 + s)
+            tex = np.stack([
+                synthetic.varied_texture(rng, scene.tex_size)
+                for _ in range(scene.textures.shape[0])
+            ])
+            scene = scene._replace(textures=jnp.asarray(tex))
         for i in range(frames_per_scene):
             img = render(scene, cam, jnp.asarray(poses[i]))
             f = frame_mod.make_frame(img, cam, cfg)
@@ -68,6 +81,8 @@ def main():
     ap.add_argument("--frames-per-scene", type=int, default=40)
     ap.add_argument("--corpus-cache", default="/tmp/vocab_corpus.npz")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--varied", action="store_true",
+                    help="widened texture/lighting corpus (vocab stress, r3)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -82,7 +97,7 @@ def main():
         corpus = np.load(args.corpus_cache)["descs"]
         print(f"loaded cached corpus: {len(corpus)} descriptors")
     else:
-        corpus = build_corpus(args.scenes, args.frames_per_scene)
+        corpus = build_corpus(args.scenes, args.frames_per_scene, varied=args.varied)
         np.savez_compressed(args.corpus_cache, descs=corpus)
         print(f"corpus: {len(corpus)} descriptors (cached to {args.corpus_cache})")
 
