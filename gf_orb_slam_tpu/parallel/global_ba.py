@@ -199,7 +199,9 @@ def _make_step(cam: CameraModel, n_pcg_iters: int, lam_pt: float):
         poses = jnp.where(good, new_poses, poses)
         points = jnp.where(good, new_points, points)  # replicated: same decision everywhere
         lam = jnp.where(good, jnp.maximum(lam * 0.4, 1e-9), jnp.minimum(lam * 5.0, 1e5))
-        return poses, points, lam, c_new
+        # Report the ACCEPTED objective: a rejected proposal (e.g. a CG solve
+        # gone bad at tiny lambda) must not masquerade as the result cost.
+        return poses, points, lam, jnp.where(good, c_new, c_old)
 
     return step
 
