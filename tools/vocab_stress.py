@@ -135,7 +135,13 @@ def l1_score_sparse(q_ids, q_vals, d_ids, d_vals):
     return 2.0 * s
 
 
-def evaluate(voc, kf_feats, q_feats, gt_mat):
+def evaluate(voc, kf_feats, q_feats, gt_mat, far_mat):
+    """P@1 / R@5 / MRR plus the metric loop detection actually lives on:
+    the score MARGIN best-relevant / best-far-irrelevant (far = outside 2×
+    the GT gates — same-texture different-place distractors). The reference's
+    DetectLoopCandidates gates on score vs the min covisible score
+    (KeyFrameDatabase.cc:75-196); a vocabulary with a larger margin admits
+    fewer false candidates at any gate."""
     import numpy as np
 
     t0 = time.perf_counter()
@@ -144,6 +150,7 @@ def evaluate(voc, kf_feats, q_feats, gt_mat):
     quant_ms = (time.perf_counter() - t0) * 1000.0 / (len(kf_feats) + len(q_feats))
 
     p1 = r5 = mrr = 0.0
+    margins = []
     n_q = len(q_bows)
     for qi, (qid, qv) in enumerate(q_bows):
         scores = np.asarray(
@@ -151,6 +158,7 @@ def evaluate(voc, kf_feats, q_feats, gt_mat):
         )
         order = np.argsort(-scores)
         rel = gt_mat[qi]
+        far = far_mat[qi]
         if not rel.any():
             n_q -= 1
             continue
@@ -158,11 +166,15 @@ def evaluate(voc, kf_feats, q_feats, gt_mat):
         r5 += float(rel[order[:5]].any())
         rank = 1 + int(np.argmax(rel[order]))
         mrr += 1.0 / rank
+        if far.any():
+            margins.append(scores[rel].max() / max(scores[far].max(), 1e-9))
     n_q = max(n_q, 1)
     return {
         "p_at_1": round(p1 / n_q, 4),
         "r_at_5": round(r5 / n_q, 4),
         "mrr": round(mrr / n_q, 4),
+        "margin_mean": round(float(np.mean(margins)), 3) if margins else None,
+        "margin_p10": round(float(np.percentile(margins, 10)), 3) if margins else None,
         "quantize_ms_per_frame": round(quant_ms, 2),
         "n_words": int(voc.n_words),
         "depth_L": int(voc.L),
@@ -200,10 +212,13 @@ def main(argv=None):
     q_feats = extract_all(scene, cam, q_poses)
 
     cos_gate = np.cos(np.deg2rad(args.gt_angle_deg))
-    gt = ((qd @ kd.T) > cos_gate) & (
-        np.linalg.norm(qc[:, None] - kc[None, :], axis=-1) < args.gt_dist
+    dist = np.linalg.norm(qc[:, None] - kc[None, :], axis=-1)
+    gt = ((qd @ kd.T) > cos_gate) & (dist < args.gt_dist)
+    far = ((qd @ kd.T) < np.cos(np.deg2rad(2.0 * args.gt_angle_deg))) | (
+        dist > 2.0 * args.gt_dist
     )
-    print(f"GT relevant per query: mean {gt.sum(1).mean():.1f}", file=sys.stderr)
+    print(f"GT relevant per query: mean {gt.sum(1).mean():.1f}; "
+          f"far distractors: mean {far.sum(1).mean():.1f}", file=sys.stderr)
 
     results = {}
     for spec in args.vocab or ["packaged", "tiny"]:
@@ -221,7 +236,7 @@ def main(argv=None):
             voc = voc_mod.train_vocabulary(descs, k=10, L=3, seed=0)
         else:
             voc = voc_mod.load_vocabulary(spec)
-        results[spec] = evaluate(voc, kf_feats, q_feats, gt)
+        results[spec] = evaluate(voc, kf_feats, q_feats, gt, far)
         print(spec, results[spec], file=sys.stderr)
 
     payload = {
