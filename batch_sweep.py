@@ -31,8 +31,15 @@ def main():
     ap.add_argument("--pipeline", type=int, default=0)
     ap.add_argument("--scene", choices=["planes", "room"], default="planes")
     ap.add_argument("--gf-mode", default="subset")
-    ap.add_argument("--probe-stages", action="store_true",
-                    help="per-config on-chip stage attribution in each run")
+    # On-chip stage attribution runs by DEFAULT once per {seq × budget} cell
+    # (round 0) — the reference fills its ~25 TimeLog stage fields on every
+    # run (Util.hpp:179-264); shipping sweep artifacts with all-zero stage
+    # rows was a round-3 process failure. Opt out for quick smoke sweeps.
+    ap.add_argument("--probe-stages", dest="probe_stages", action="store_true",
+                    default=True,
+                    help="per-cell on-chip stage attribution (default on)")
+    ap.add_argument("--no-probe-stages", dest="probe_stages",
+                    action="store_false")
     args = ap.parse_args()
 
     os.makedirs(args.out_dir, exist_ok=True)

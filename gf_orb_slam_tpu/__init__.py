@@ -38,7 +38,14 @@ import jax as _jax
 # are a few GFLOP/frame, so the 3-pass cost is sub-ms, and the extraction hot
 # path is int8/explicit-bf16 and unaffected. Override via
 # GF_MATMUL_PRECISION={bfloat16,tensorfloat32,float32} for A/B measurement.
-_jax.config.update(
-    "jax_default_matmul_precision",
-    _os.environ.get("GF_MATMUL_PRECISION", "float32"),
-)
+_prec = _os.environ.get("GF_MATMUL_PRECISION", "float32")
+if _prec not in ("bfloat16", "tensorfloat32", "float32"):
+    import warnings as _warnings
+
+    _warnings.warn(
+        f"GF_MATMUL_PRECISION={_prec!r} is not one of "
+        "{bfloat16, tensorfloat32, float32}; using float32",
+        stacklevel=2,
+    )
+    _prec = "float32"
+_jax.config.update("jax_default_matmul_precision", _prec)

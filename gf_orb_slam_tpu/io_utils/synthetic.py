@@ -251,7 +251,7 @@ def render_general(
 
 def circuit_trajectory(
     n_frames: int, fps: float = 20.0, radius: float = 4.0, bob: float = 0.08,
-    revs: float = 1.0,
+    revs: float = 1.0, phase: float = 0.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Camera orbits the room center looking radially outward, completing
     `revs` revolutions: every wall is approached obliquely, and after a full
@@ -260,7 +260,7 @@ def circuit_trajectory(
     ts = np.arange(n_frames, dtype=np.float64) / fps
     poses = []
     for i in range(n_frames):
-        th = 2.0 * np.pi * revs * i / n_frames
+        th = phase + 2.0 * np.pi * revs * i / n_frames
         pos = np.asarray(
             [radius * np.sin(th), bob * np.sin(3.0 * th), radius * np.cos(th)],
             np.float32,

@@ -282,9 +282,13 @@ def brief_descriptors_flat(
 # Patch-matmul orientation + descriptors (the production extract_orb path)
 # ---------------------------------------------------------------------------
 
-_PATCH_R = int(np.abs(_ROT_PATTERNS).max())  # rotated sample reach (≤ 13·√2)
+_PATCH_R = max(int(np.abs(_ROT_PATTERNS).max()), HALF_PATCH)
 _PATCH_W = 2 * _PATCH_R + 1
 _PATCH_AREA = _PATCH_W * _PATCH_W
+# The gathered patch must cover BOTH the rotated BRIEF sample reach (≤ 13·√2)
+# and the radius-15 IC moment disc; a seed/clip change shrinking the realized
+# pattern reach must not silently truncate the disc in _patch_moment_masks_i8.
+assert _PATCH_R >= HALF_PATCH, (_PATCH_R, HALF_PATCH)
 
 
 def _pair_diff_matrix() -> np.ndarray:
@@ -328,7 +332,8 @@ def patch_orientation_brief(
     Replaces the 512-element-per-keypoint descriptor gather + the row-integral
     orientation path (TPU gathers are element-count bound, ~8 ns/element, so
     512·N scalar gathers ≈ 3.3 ms/frame at N=800): gather each keypoint's
-    37×37 blurred patch as 37 CONTIGUOUS row slices (slice gathers move whole
+    (2·_PATCH_R+1)² blurred patch (33×33 with the shipped pattern) as
+    contiguous row slices (slice gathers move whole
     lanes, not elements), then
 
       * IC moments = patch @ disc-masks — int8×int8→int32 on the MXU; the
@@ -487,7 +492,7 @@ def extract_orb(img: jnp.ndarray, cfg: OrbConfig) -> Keypoints:
     hl = jnp.asarray(np.concatenate(hls_np))
 
     if cfg.patch_desc:
-        # ONE int8 slice-gather of blurred 37×37 patches feeds orientation
+        # ONE int8 slice-gather of blurred (2R+1)² patches feeds orientation
         # moments AND all-bin BRIEF via MXU matmuls (see
         # patch_orientation_brief) — no row integrals, no element gathers.
         flat_blur_i8 = jnp.concatenate(

@@ -11,6 +11,7 @@ multi-chip version shards the mapper (parallel/global_ba.py).
 from __future__ import annotations
 
 import enum
+import time
 from dataclasses import dataclass, field
 
 import jax
@@ -79,6 +80,12 @@ class SlamConfig:
     pipeline_depth: int = 4         # frames in flight when pipelined (4-8 hides
                                     # a ~60ms fetch RTT; deeper = keyframe/loss
                                     # decisions lag further behind the camera)
+    eager_finalize: bool = True     # finalize as soon as is_ready() — cuts the
+                                    # keyframe-decision lag to true device
+                                    # latency. Self-disables if the backend's
+                                    # readiness probe proves unreliable (a
+                                    # "ready" head that then stalls the fetch —
+                                    # observed on the tunneled axon backend).
 
 
 @dataclass
@@ -145,6 +152,7 @@ class SlamSystem:
         self.lost_frames = 0
         self._inflight = []  # deque of dispatched-but-unfinalized frames
         self._pending_kf = []  # deferred keyframe-insertion finalizations
+        self._eager_strikes = 0  # is_ready()==True followed by a stalled fetch
         self.track_view = tv.empty_view(self.cfg.view_size, self.cfg.max_points)
         from gf_orb_slam_tpu.io_utils.timing import TimeLog
 
@@ -370,7 +378,14 @@ class SlamSystem:
             # the true device/link latency (~2-3 frames through the tunnel)
             # instead of a fixed `depth` frames — pipelined-mode drift on
             # turning trajectories comes from exactly that decision lag.
-            if len(self._inflight) < depth and cfg.pipelined:
+            eager = len(self._inflight) < depth and cfg.pipelined
+            if eager:
+                # On backends with an unreliable readiness probe (the tunneled
+                # axon TPU reports ready before the value is fetchable), an
+                # eager finalize blocks a full ~50-60 ms RTT per frame; after
+                # repeated stalls fall back to depth-only backpressure.
+                if not cfg.eager_finalize or self._eager_strikes >= 3:
+                    break
                 head = self._inflight[0][0].ok
                 try:
                     if not head.is_ready():
@@ -378,7 +393,14 @@ class SlamSystem:
                 except AttributeError:
                     break
             entry = self._inflight.pop(0)
-            if not self._finalize_tracked(*entry):
+            t0 = time.perf_counter() if eager else 0.0
+            done = self._finalize_tracked(*entry)
+            if eager:
+                if time.perf_counter() - t0 > 0.025:
+                    self._eager_strikes += 1
+                else:
+                    self._eager_strikes = 0
+            if not done:
                 break
         self.time_log.end("local_map_track")
 

@@ -188,6 +188,12 @@ def track_local_map(
     in_range = (dist >= view.min_dist) & (dist <= view.max_dist)
     visible = search_v & front & in_img & in_range & (cos_view > 0.5)
 
+    # Predicted pyramid octave per candidate (ref MapPoint::PredictScale) —
+    # used both for the octave-scaled search radius below and for the
+    # octave-leveled measurement-noise whitening of the GF info blocks.
+    pred_oct = _predict_octave(dist, view.max_dist, scale, n_levels)
+    lvl_sigma2 = _level_sigma2(scale, n_levels)
+
     # --- optional budgeted selection over the visible candidates ---
     # gf_mode: "subset"   exact Max-logDet greedy (determinant-lemma kernel,
     #                     gf/selection.py) seeded with the tracking info prior
@@ -204,7 +210,13 @@ def track_local_map(
     #                     LONGLIVE_MAP_MATCHING baseline)
     if use_gf and gf_mode in ("subset", "auto", "active", "hybrid", "lazier"):
         jac = observability.measurement_jacobians(cam, Xv, pos_v)
-        H_w = observability.whiten(jac.H, jnp.ones((V,)))
+        # Octave-leveled noise whitening (ref reWeightInfoMat with
+        # WITH_OCT_LEVELED_NOISE, Observability.h:517-570): a candidate
+        # expected at pyramid level ℓ carries measurement noise σ² = s^{2ℓ},
+        # so its info contribution is scaled by 1/σ² — coarse-level points
+        # count less in the Max-logDet objective, as in the shipped reference
+        # config (SURVEY §5 #define set).
+        H_w = observability.whiten(jac.H, lvl_sigma2[pred_oct])
         vis_j = jac.visible & valid_v
         if gf_mode == "hybrid":
             from gf_orb_slam_tpu.geometry import pwls
@@ -221,7 +233,9 @@ def track_local_map(
         # information where the current match set is weakest.
         op0 = jnp.maximum(obs_point, 0)
         jac_cur = observability.measurement_jacobians(cam, Xv, m.pt_pos[op0])
-        Hc = observability.whiten(jac_cur.H, jnp.ones((N,)))
+        # Current matches live at known keypoint octaves — whiten by the
+        # keypoint's actual level noise (same reWeightInfoMat convention).
+        Hc = observability.whiten(jac_cur.H, lvl_sigma2[frame.octave])
         Hc = jnp.where(
             (jac_cur.visible & (obs_point >= 0))[:, None, None], Hc, 0.0
         )
@@ -276,7 +290,6 @@ def track_local_map(
     # the pose-LM observation set below — the latency-critical path — while
     # keyframes keep full observation richness (lmk_num_BA = refTrack +
     # nMatched, Tracking.cc:3143).
-    pred_oct = _predict_octave(dist, view.max_dist, scale, n_levels)
     sf = jnp.asarray([scale**i for i in range(n_levels)])
     rad = radius * sf[pred_oct]
     rad = jnp.where(cos_view < 0.998, rad * (5.0 / 3.0), rad)

@@ -303,6 +303,48 @@ class TestSelection:
         assert float(res_h.logdet) > max(ld13_rand), "hybrid loses on its own metric"
         assert ld7_h > np.mean(ld7_rand), "hybrid subset weaker than random for pose"
 
+    def test_octave_whitening_improves_selection(self, rng):
+        """WITH_OCT_LEVELED_NOISE (ref reWeightInfoMat, Observability.h:517-
+        570), wired as the production default in track_local_map: candidates
+        carry octave-dependent measurement noise σ² = s^{2ℓ}; selection over
+        correctly-whitened factors must achieve at least the TRUE information
+        logdet of a selection that ignores the noise model (σ²=1), and beat it
+        in aggregate when octaves are diverse."""
+        cam = camera.EUROC_CAM
+        s = 1.2
+        margins = []
+        for seed in range(6):
+            r = np.random.default_rng(1000 + seed)
+            Xv, pts = synth_state_and_points(r, cam, n=240)
+            jac = observability.measurement_jacobians(cam, Xv, pts)
+            octv = r.integers(0, 8, size=240)
+            sigma2 = jnp.asarray(s ** (2.0 * octv), jnp.float32)
+            H_true = observability.whiten(jac.H, sigma2)   # noise-correct
+            fac_true = jnp.where(jac.visible[:, None, None], H_true, 0.0)
+            fac_blind = jnp.where(jac.visible[:, None, None], jac.H, 0.0)
+            k = 60
+            sel_w = selection.greedy_maxlogdet_lowrank(
+                fac_true, jac.visible, k=k, batch=1
+            )
+            sel_b = selection.greedy_maxlogdet_lowrank(
+                fac_blind, jac.visible, k=k, batch=1
+            )
+            blocks_true = np.asarray(
+                observability.info_matrices(H_true, jac.visible)
+            )
+
+            def true_logdet(mask):
+                M = selection.PRIOR_EPS * np.eye(7) + blocks_true[
+                    np.asarray(mask)
+                ].sum(axis=0)
+                return np.linalg.slogdet(M)[1]
+
+            margins.append(true_logdet(sel_w.selected) - true_logdet(sel_b.selected))
+        # Whitened selection optimizes the true objective directly: never
+        # meaningfully worse per scene, strictly better on average.
+        assert min(margins) > -0.15, margins
+        assert np.mean(margins) > 0.1, margins
+
     def test_selection_handles_few_candidates(self, rng):
         """k larger than the candidate pool: select everything, no NaNs
         (ref: 'subset limit higher than input lmk number' path)."""

@@ -41,9 +41,16 @@ def run_one(seed: int, n_frames: int, revs: float, use_gf: bool, budget: int):
     from gf_orb_slam_tpu.retrieval import vocabulary as voc_mod
 
     cam = EUROC_CAM
-    scene = synthetic.make_room_scene(seed=0)
+    # Each seed is a genuinely distinct run: different wall textures
+    # (scene seed), a different circuit start point (phase), and a different
+    # orbit radius — not just a different PRNG stream through identical
+    # pixels (the round-3 version produced 5 byte-identical runs).
+    scene = synthetic.make_room_scene(seed=seed)
     ts, poses_gt = synthetic.circuit_trajectory(
-        n_frames, fps=cam.fps, radius=4.0, revs=revs
+        n_frames, fps=cam.fps,
+        radius=4.0 - 0.2 * (seed % 3),
+        revs=revs,
+        phase=0.61 * seed,
     )
     cfg = SlamConfig(max_frames_between_kf=6, use_gf=use_gf, gf_budget=budget)
     system = SlamSystem(cam, cfg)
@@ -114,7 +121,8 @@ def main():
     ap.add_argument("--revs", type=float, default=1.15)
     ap.add_argument("--endurance", action="store_true",
                     help="2.2 revolutions (two revisit episodes per run)")
-    ap.add_argument("--gf-budget", type=int, default=0)
+    ap.add_argument("--gf-budget", type=int, default=100,
+                    help="0 disables GF; default 100 = the shipped config")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="")
     args = ap.parse_args()

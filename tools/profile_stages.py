@@ -115,17 +115,31 @@ def main(which=None):
 
         return run
 
+    def bf16(fn):
+        """Same program traced under bfloat16 default matmul precision — the
+        round-3 pre-fix configuration. The config value keys the jit cache, so
+        the f32 and bf16 traces coexist in one process and can be chained
+        interleaved (tunnel-fair A/B of the global f32-matmul default)."""
+        def run(img):
+            with jax.default_matmul_precision("bfloat16"):
+                return fn(img)
+        return run
+
     stages = [
         ("pyramid", s_pyramid),
+        ("pyramid_bf16", bf16(s_pyramid)),
         ("pyr+fast", s_fast),
         ("pyr+integrals", s_integrals),
         ("pyr+blur", s_blur),
         ("extract_full", s_extract),
+        ("extract_bf16", bf16(s_extract)),
         ("extract_gather", s_extract_gather),
         ("fused_track", s_fused),
+        ("fused_bf16", bf16(s_fused)),
         ("fused_track_gf", s_fused_gf(1)),          # batch=1: k rounds
         ("fused_gf_b5", s_fused_gf(5)),             # production default
         ("fused_gf_b10", s_fused_gf(10)),
+        ("fused_gf10_bf16", bf16(s_fused_gf(10))),
         ("fused_gf_b5_k60", s_fused_gf(5, 60)),
         ("fused_gf_b5_k200", s_fused_gf(5, 200)),
     ]

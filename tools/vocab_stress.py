@@ -15,7 +15,7 @@ Protocol:
     directions agree within `gt_angle_deg` AND positions within `gt_dist`
     (frustum-overlap proxy — same gate the loop-recall eval uses).
   * Score every (query, keyframe) pair with the DBoW2 L1 tf-idf score
-    (s = 2·Σ min(q_w, d_w), the dense form of KeyFrameDatabase scoring) and
+    (s = Σ min(q_w, d_w), the dense form of KeyFrameDatabase scoring) and
     report P@1 / R@5 / MRR, plus per-frame quantization wall time.
 
 Scoring here is sparse-by-keyframe (per-KF word-id/value lists, query dense),
@@ -132,7 +132,10 @@ def l1_score_sparse(q_ids, q_vals, d_ids, d_vals):
         qv = qi.get(int(i))
         if qv is not None:
             s += min(qv, float(v))
-    return 2.0 * s
+    # Σ min(q, d) — same scale as retrieval.vocabulary.l1_score
+    # (1 − 0.5·L1 for normalized vectors), so absolute scores here are
+    # directly comparable to the loop detector's score gates.
+    return s
 
 
 def evaluate(voc, kf_feats, q_feats, gt_mat, far_mat):
