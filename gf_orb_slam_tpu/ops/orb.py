@@ -279,7 +279,7 @@ def brief_descriptors_flat(
 
 
 # ---------------------------------------------------------------------------
-# Patch-matmul orientation + descriptors (the production extract_orb path)
+# Patch-matmul orientation + descriptors (A/B path, non-default — see OrbConfig)
 # ---------------------------------------------------------------------------
 
 _PATCH_R = max(int(np.abs(_ROT_PATTERNS).max()), HALF_PATCH)
@@ -410,10 +410,14 @@ class OrbConfig(NamedTuple):
     fast_threshold: float = 20.0
     fast_min_threshold: float = 7.0
     grid: int = 8
-    # Descriptor backend: patch-matmul (int8 MXU, production) vs the
-    # element-gather path (kept for A/B benchmarking and as the reference
-    # formulation for the rotation-invariance unit tests).
-    patch_desc: bool = True
+    # Descriptor backend. False (production) = row-integral IC angles +
+    # (N,512) element-gather rBRIEF. True = the round-3 patch-matmul path
+    # (one int8 patch gather + int8 matmuls): measured 34.1 ms vs 8.4 ms
+    # on-chip (v5e, 2026-08-21, tools/profile_stages.py) — XLA does not
+    # lower int8 dots to the MXU, and the (N·33·33)-element patch gather
+    # alone exceeds the element-gather path's footprint. Kept for A/B and
+    # as the bit-exactness cross-check in the unit tests.
+    patch_desc: bool = False
 
 
 class Keypoints(NamedTuple):

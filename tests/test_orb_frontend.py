@@ -171,7 +171,7 @@ class TestDescriptors:
         at ≥90% identical descriptors up to the angle-source change (blurred
         vs raw moments can shift a keypoint across a 12° steering-bin edge)."""
         img = checkerboard_scene(rng, 240, 320)
-        cfg_p = orb.OrbConfig(n_features=200)
+        cfg_p = orb.OrbConfig(n_features=200, patch_desc=True)
         cfg_g = orb.OrbConfig(n_features=200, patch_desc=False)
         kp = orb.extract_orb(jnp.asarray(img), cfg_p)
         kg = orb.extract_orb(jnp.asarray(img), cfg_g)
