@@ -288,6 +288,134 @@ def fuse_into_keyframe(
     return m
 
 
+def fuse_points_into_keyframes(
+    cam: CameraModel,
+    m: ms.MapState,
+    target_kfs: jnp.ndarray,   # (F,) keyframe ids
+    target_ok: jnp.ndarray,    # (F,) bool — padded/ineligible targets off
+    cand_points: jnp.ndarray,  # (M,) point ids to project into EVERY target
+    cand_use: jnp.ndarray,     # (M,) bool
+    radius: float = 3.0,
+    scale: float = 1.2,
+    n_levels: int = 8,
+) -> ms.MapState:
+    """Direction-2 SearchInNeighbors fuse (ref LocalMapping.cc:441-459: the
+    new keyframe's points projected into each covisible neighbor), BATCHED
+    over the F targets: one vmapped projection/gate/Hamming pass and ONE
+    update application replace F sequential fuse_into_keyframe calls (the
+    round-4 insertion profile measured those at ~6 ms each — the sequential
+    scatter chains, not the math, were the cost).
+
+    Semantics vs the sequential loop: all targets match against the SAME
+    candidate list (the sequential version re-read the new keyframe's row
+    after each neighbor's merges). Merge-chains across targets (a→b in one
+    neighbor, b→c in another) resolve over successive insertions, exactly
+    like the reference's once-per-insertion fuse; conflicting scatter
+    writes resolve last-wins, matching the loop's last-neighbor-wins."""
+    pts = m.pt_pos[cand_points]
+    ok0 = cand_use & m.pt_valid[cand_points]
+    n_obs = ms.point_observation_count(m)
+    sigma_lvl = jnp.asarray([scale**i for i in range(n_levels)])
+
+    def per_target(tkf, tok):
+        pose = m.kf_pose[tkf]
+        obs_t = m.kf_obs_point[tkf]
+        in_target = jnp.zeros((m.pt_capacity,), bool).at[
+            jnp.maximum(obs_t, 0)
+        ].max(obs_t >= 0)
+        ok = ok0 & tok & ~in_target[cand_points]
+        xc = se3.transform_point(pose, pts)
+        uvp, depth, front = project(cam, xc)
+        c = se3.pose_t(se3.inverse(pose))
+        view = pts - c[None, :]
+        dist = jnp.linalg.norm(view, axis=-1)
+        cos_view = jnp.sum(view * m.pt_normal[cand_points], axis=-1) / jnp.maximum(
+            dist, 1e-9
+        )
+        in_range = (dist >= m.pt_min_dist[cand_points] * 0.8) & (
+            dist <= m.pt_max_dist[cand_points] * 1.2
+        )
+        ok = ok & front & in_range & (cos_view > 0.5)
+        pred_oct = jnp.clip(
+            jnp.ceil(
+                jnp.log(
+                    jnp.maximum(
+                        m.pt_max_dist[cand_points] / jnp.maximum(dist, 1e-9), 1e-9
+                    )
+                )
+                / jnp.log(scale)
+            ).astype(jnp.int32),
+            0,
+            n_levels - 1,
+        )
+        rad = radius * sigma_lvl[pred_oct]
+        pmask = matching.projection_mask(
+            uvp, ok, m.kf_kp_uv[tkf], m.kf_kp_octave[tkf], m.kf_kp_valid[tkf],
+            rad, pred_oct,
+        )
+        res = matching.match(
+            m.pt_desc[cand_points], m.kf_kp_desc[tkf], pmask,
+            max_dist=matching.TH_LOW,
+        )
+        hit = res.matched & ok
+        kp_point = m.kf_obs_point[tkf][res.idx]
+        return hit, res.idx, kp_point
+
+    hit, idx, kp_point = jax.vmap(per_target)(target_kfs, target_ok)  # (F, M)
+    F, M = hit.shape
+    cand_b = jnp.broadcast_to(cand_points[None, :], (F, M))
+
+    # Case A: free keypoint slot → claim it. 2-D scatter (row = target kf,
+    # col = matched keypoint); duplicate (row, col) writes resolve last-wins,
+    # as in the sequential loop.
+    claim = hit & (kp_point == ms.NO_POINT)
+    rows = jnp.where(claim, target_kfs[:, None], m.kf_capacity)
+    cols = jnp.where(claim, idx, 0)
+    obs_all = m.kf_obs_point.at[rows, cols].set(
+        jnp.where(claim, cand_b, 0), mode="drop"
+    )
+    m = m._replace(kf_obs_point=obs_all)
+
+    # Case B: occupied by a DIFFERENT point → keep the better-observed one.
+    dup = hit & (kp_point != ms.NO_POINT) & (kp_point != cand_b)
+    keep_existing = (
+        n_obs[jnp.maximum(kp_point, 0)] >= n_obs[jnp.maximum(cand_b, 0)]
+    )
+    old_id = jnp.where(keep_existing, cand_b, kp_point)
+    new_id = jnp.where(keep_existing, kp_point, cand_b)
+    remap = jnp.arange(m.pt_capacity, dtype=jnp.int32)
+    remap = remap.at[jnp.where(dup, old_id, m.pt_capacity).reshape(-1)].set(
+        jnp.where(dup, new_id, 0).reshape(-1), mode="drop"
+    )
+    # Self-map survivors: a point that is old in one target and new in
+    # another must not be redirected through a killed id chain — re-anchor
+    # new ids to themselves so last-wins cannot orphan them.
+    remap = remap.at[jnp.where(dup, new_id, m.pt_capacity).reshape(-1)].set(
+        jnp.where(dup, new_id, 0).reshape(-1), mode="drop"
+    )
+    obs = m.kf_obs_point
+    obs = jnp.where(obs >= 0, remap[jnp.maximum(obs, 0)], obs)
+    killed_ids = jnp.where(dup & (remap[jnp.maximum(old_id, 0)] != old_id),
+                           old_id, m.pt_capacity)
+    killed = jnp.zeros(m.pt_capacity, bool).at[killed_ids.reshape(-1)].set(
+        True, mode="drop"
+    )
+    add_vis = jnp.zeros(m.pt_capacity, jnp.int32).at[
+        jnp.where(dup, new_id, m.pt_capacity).reshape(-1)
+    ].add(jnp.where(dup, m.pt_visible[jnp.maximum(old_id, 0)], 0).reshape(-1),
+          mode="drop")
+    add_fnd = jnp.zeros(m.pt_capacity, jnp.int32).at[
+        jnp.where(dup, new_id, m.pt_capacity).reshape(-1)
+    ].add(jnp.where(dup, m.pt_found[jnp.maximum(old_id, 0)], 0).reshape(-1),
+          mode="drop")
+    return m._replace(
+        kf_obs_point=obs,
+        pt_valid=m.pt_valid & ~killed,
+        pt_visible=m.pt_visible + add_vis,
+        pt_found=m.pt_found + add_fnd,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Distinctive descriptors (ref MapPoint::ComputeDistinctiveDescriptors) are
 # maintained window-locally inside the fused insertion program

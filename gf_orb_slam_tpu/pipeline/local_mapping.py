@@ -56,7 +56,7 @@ def insert_keyframe_fused(
     ba_window: int = 8,
     ba_fixed: int = 2,
     n_tri_neighbors: int = 3,
-    ba_points: int = 4096,
+    ba_points: int = 2048,
     ba_iters: tuple = (5, 10),
     n_fuse_neighbors: int = 4,
 ) -> InsertResult:
@@ -114,8 +114,11 @@ def insert_keyframe_fused(
     N = m.kp_capacity
     P = m.pt_capacity
     if n_fuse_neighbors > 0:  # static: 0 compiles fusion out entirely
-        w_fuse = ms.covisibility_row(m, kf_id)
-        fw, fuse_ids = jax.lax.top_k(w_fuse, n_fuse_neighbors)
+        # Reuse the pre-triangulation covisibility row (w_row): triangulated
+        # points only add weight to the triangulation partners, which are
+        # already at the top, so the top-F neighbor set is unchanged — and
+        # recomputing the row costs ~3 ms on chip (round-4 insertion profile).
+        fw, fuse_ids = jax.lax.top_k(w_row, n_fuse_neighbors)
         fuse_ok = fw >= 10
         # Direction-1 candidates: the UNION of the neighbors' points,
         # deduplicated and compacted to a fixed slab (neighbors share most
@@ -133,16 +136,18 @@ def insert_keyframe_fused(
             cam, m, kf_id, jnp.minimum(cand1, P - 1), use1,
             scale=scale, n_levels=n_levels,
         )
-        for i in range(n_fuse_neighbors):
-            cand2 = m.kf_obs_point[kf_id]
-            use2 = (cand2 >= 0) & fuse_ok[i]
-            m = keyframe_ops.fuse_into_keyframe(
-                cam, m, fuse_ids[i], jnp.maximum(cand2, 0), use2,
-                scale=scale, n_levels=n_levels,
-            )
+        # Direction 2, all neighbors in ONE batched program (≈6 ms per
+        # sequential call before, round-4 insertion profile).
+        cand2 = m.kf_obs_point[kf_id]
+        m = keyframe_ops.fuse_points_into_keyframes(
+            cam, m, fuse_ids, fuse_ok, jnp.maximum(cand2, 0), cand2 >= 0,
+            scale=scale, n_levels=n_levels,
+        )
 
     # --- local BA over the top covisibility window (fixed shapes) ---
-    w_row2 = ms.covisibility_row(m, kf_id).at[kf_id].set(jnp.int32(1 << 30))  # self always in window
+    # Same w_row reuse as fusion: triangulation/fusion only strengthen links
+    # to keyframes already at the top of the row.
+    w_row2 = w_row.at[kf_id].set(jnp.int32(1 << 30))  # self always in window
     top_w2, win_ids = jax.lax.top_k(w_row2, ba_window)
     active = top_w2 > 0
     # Order by keyframe id so the fixed boundary = the earliest ones.

@@ -64,7 +64,10 @@ class SlamConfig:
     max_frames_between_kf: int = 12  # ref mMaxFrames = 18*fps/30, scaled down
     ba_window: int = 8              # local BA camera window
     ba_fixed: int = 2               # fixed boundary cameras in the window
-    ba_points: int = 4096           # compacted local-point capacity for BA
+    ba_points: int = 2048           # compacted local-point capacity for BA
+                                    # (local windows carry ≤~2k live points on
+                                    # the bench/circuit scenes; the Schur
+                                    # tensors scale linearly in this)
     min_init_matches: int = 80
     triangulate_neighbors: int = 3
     # place recognition / loop closing
@@ -361,7 +364,7 @@ class SlamSystem:
 
         # Start the host copies NOW so the fetch RTT overlaps with the next
         # frames' dispatch/compute instead of blocking at finalize time.
-        for a in (res.ok, res.n_inliers, res.pose):
+        for a in (res.ok, res.n_inliers, res.pose, res.n_total):
             try:
                 a.copy_to_host_async()
             except AttributeError:
@@ -455,7 +458,9 @@ class SlamSystem:
 
     def _finalize_tracked(self, res, frame_now, timestamp, frame_id, log):
         cfg = self.cfg
-        ok_np, n_inl_np, pose_np = jax.device_get((res.ok, res.n_inliers, res.pose))
+        ok_np, n_inl_np, pose_np, n_tot_np = jax.device_get(
+            (res.ok, res.n_inliers, res.pose, res.n_total)
+        )
         if not bool(ok_np):
             self._inflight = []  # anything dispatched after the failure is garbage
             self._finalize_insertions()  # keep BoW/loop state consistent
@@ -483,8 +488,15 @@ class SlamSystem:
         # Adaptive: the lag is however many later frames are in flight right
         # now (≈0 on a local device, 2-3 through the tunnel).
         lag_gap = min(len(self._inflight), 4) if cfg.pipelined else 0
+        # The low-inlier trigger (c2) compares FULL tracked density (LM
+        # inliers + deferred matches, = the reference's mnMatchesInliers
+        # with DELAYED_MAP_MATCHING) against n_ref_tracked, which counts the
+        # same statistic at the last insertion. Comparing the GF-budgeted LM
+        # inlier count (≤ budget) against full-density n_ref_tracked kept c2
+        # permanently true under GF and drove insertion at the cadence floor
+        # (round-4 bench: 20 KFs / 96 frames, ~10 ms/frame of insertion work).
         if not mapper_busy and tracking.need_new_keyframe(
-            n_inliers, self.n_ref_tracked,
+            int(n_tot_np), self.n_ref_tracked,
             frame_id - self.last_kf_frame,
             frame_id - self.last_reloc_frame if self.last_reloc_frame > 0 else 10**9,
             cfg.max_frames_between_kf,
