@@ -37,8 +37,15 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def build_views(n_kf: int, n_q: int, seed: int = 0):
-    """Render keyframe + query views with GT camera centers/directions."""
+def build_views(n_kf: int, n_q: int, seed: int = 0, revs: float = 2.0,
+                rings: int = 2, varied: bool = False):
+    """Render keyframe + query views with GT camera centers/directions.
+
+    `varied=True` swaps the wall textures for held-out instances of the
+    widened texture family (seed range disjoint from every training corpus:
+    the packaged 100k tree trained on default textures, the 1M candidate on
+    varied seeds 1000+s) — retrieval is then measured out-of-domain for all
+    candidate trees, per VERDICT r3 weak #5."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -47,6 +54,13 @@ def build_views(n_kf: int, n_q: int, seed: int = 0):
     from gf_orb_slam_tpu.io_utils import synthetic
 
     scene = synthetic.make_room_scene(seed=seed)
+    if varied:
+        trng = np.random.default_rng(5000 + seed)
+        tex = np.stack([
+            synthetic.varied_texture(trng, scene.tex_size)
+            for _ in range(scene.textures.shape[0])
+        ])
+        scene = scene._replace(textures=jnp.asarray(tex))
     rng = np.random.default_rng(seed + 1)
 
     def pose_at(th, radius, bob):
@@ -56,14 +70,16 @@ def build_views(n_kf: int, n_q: int, seed: int = 0):
         q_wc = quat.v2q(jnp.asarray([0.0, th, 0.0], jnp.float32))
         return se3.inverse(se3.make_pose(q_wc, pos))
 
-    # Keyframe stations: two revolutions over two rings (radius/height vary),
-    # so revisited directions exist at different viewpoints.
+    # Keyframe stations: `revs` revolutions over `rings` rings (radius/height
+    # vary), so revisited directions exist at many distinct viewpoints and a
+    # query's near-misses (same wall, station a few degrees over) are visually
+    # near-identical — the retrieval task hardens with station density.
     kf_poses, kf_meta = [], []
     for i in range(n_kf):
-        th = 2.0 * np.pi * 2.0 * i / n_kf
-        ring = i % 2
-        radius = 4.0 - 0.5 * ring
-        bob = 0.12 * (1 if ring else -1)
+        th = 2.0 * np.pi * revs * i / n_kf
+        ring = i % max(rings, 1)
+        radius = 4.0 - 0.4 * ring
+        bob = 0.12 * (ring - (rings - 1) / 2.0)
         kf_poses.append(pose_at(th, radius, bob))
         kf_meta.append((th, radius, bob))
 
@@ -71,7 +87,7 @@ def build_views(n_kf: int, n_q: int, seed: int = 0):
     q_poses, q_meta = [], []
     for j in range(n_q):
         i = (j * n_kf) // n_q
-        th = 2.0 * np.pi * 2.0 * (i + 0.5) / n_kf + rng.normal(0, 0.01)
+        th = 2.0 * np.pi * revs * (i + 0.5) / n_kf + rng.normal(0, 0.01)
         radius = 3.75 + rng.normal(0, 0.1)
         bob = rng.normal(0, 0.1)
         q_poses.append(pose_at(th, radius, bob))
@@ -154,6 +170,7 @@ def evaluate(voc, kf_feats, q_feats, gt_mat, far_mat):
 
     p1 = r5 = mrr = 0.0
     margins = []
+    margins_near = []
     n_q = len(q_bows)
     for qi, (qid, qv) in enumerate(q_bows):
         scores = np.asarray(
@@ -162,6 +179,7 @@ def evaluate(voc, kf_feats, q_feats, gt_mat, far_mat):
         order = np.argsort(-scores)
         rel = gt_mat[qi]
         far = far_mat[qi]
+        near = ~rel & ~far  # same-wall near-misses just outside the GT gate
         if not rel.any():
             n_q -= 1
             continue
@@ -171,13 +189,30 @@ def evaluate(voc, kf_feats, q_feats, gt_mat, far_mat):
         mrr += 1.0 / rank
         if far.any():
             margins.append(scores[rel].max() / max(scores[far].max(), 1e-9))
+        if near.any():
+            margins_near.append(scores[rel].max() / max(scores[near].max(), 1e-9))
     n_q = max(n_q, 1)
+
+    def _stats(xs):
+        return (
+            (round(float(np.mean(xs)), 3), round(float(np.percentile(xs, 10)), 3))
+            if xs else (None, None)
+        )
+
+    m_mean, m_p10 = _stats(margins)
+    mn_mean, mn_p10 = _stats(margins_near)
     return {
         "p_at_1": round(p1 / n_q, 4),
         "r_at_5": round(r5 / n_q, 4),
         "mrr": round(mrr / n_q, 4),
-        "margin_mean": round(float(np.mean(margins)), 3) if margins else None,
-        "margin_p10": round(float(np.percentile(margins, 10)), 3) if margins else None,
+        "margin_mean": m_mean,
+        "margin_p10": m_p10,
+        # Margin over NEAR distractors (same wall, a few stations over) — the
+        # value the reference's min-covisible-score gate actually discriminates
+        # on: near-misses are covisible in a real map, so a tree that cannot
+        # rank the true station above them admits wrong-station candidates.
+        "margin_near_mean": mn_mean,
+        "margin_near_p10": mn_p10,
         "quantize_ms_per_frame": round(quant_ms, 2),
         "n_words": int(voc.n_words),
         "depth_L": int(voc.L),
@@ -188,6 +223,11 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--kfs", type=int, default=240)
     ap.add_argument("--queries", type=int, default=80)
+    ap.add_argument("--revs", type=float, default=2.0)
+    ap.add_argument("--rings", type=int, default=2)
+    ap.add_argument("--varied", action="store_true",
+                    help="held-out widened-texture walls (out-of-domain for "
+                         "every candidate tree)")
     ap.add_argument("--vocab", action="append", default=[],
                     help="'packaged', 'tiny', or a path (.npz/.txt); repeatable")
     ap.add_argument("--gt-angle-deg", type=float, default=25.0)
@@ -207,7 +247,8 @@ def main(argv=None):
     from gf_orb_slam_tpu.retrieval import vocabulary as voc_mod
 
     scene, cam, kf_poses, q_poses, (kc, kd), (qc, qd) = build_views(
-        args.kfs, args.queries, args.seed
+        args.kfs, args.queries, args.seed,
+        revs=args.revs, rings=args.rings, varied=args.varied,
     )
     print(f"extracting {args.kfs} keyframes + {args.queries} queries ...",
           file=sys.stderr)
