@@ -48,9 +48,11 @@ def main():
     cam = CameraModel(
         fx=458.0, fy=458.0, cx=376.0, cy=240.0, width=752, height=480, fps=20.0
     )
-    n_frames = 96
+    n_frames = 144
     warmup_frames = 24
-    window = 12  # frames per measurement window
+    window = 12  # frames per measurement window (10 measured windows/system:
+                 # the tunnel stalls whole windows at random, so the median
+                 # needs population)
 
     scene = synthetic.make_scene(seed=0)
     ts, poses_gt = synthetic.trajectory(n_frames, fps=20.0)
@@ -70,7 +72,8 @@ def main():
     cfg = SlamConfig(
         n_features=800, max_frames_between_kf=10,
         use_gf=True, gf_budget=100, gf_warmup_frames=10,
-        pipelined=True, pipeline_depth=6,
+        pipelined=True, pipeline_depth=8,  # depth 8 hid the ~60 ms fetch RTT
+                                           # best in the round-1 depth sweep
     )
 
     from gf_orb_slam_tpu.retrieval import vocabulary as voc_mod

@@ -54,7 +54,7 @@ def load_map(path: str):
             ),
         )
     db = None
-    if "db_bow" in z.files:
+    if "db_bow_ids" in z.files:
         db = kdb.BowDatabase(**{
             k[len("db_"):]: jnp.asarray(z[k]) for k in z.files if k.startswith("db_")
         })

@@ -444,6 +444,7 @@ class SlamSystem:
         cand, ok = kdb.detect_loop_candidates(
             self.bow_db, covis, jnp.asarray(max(self.n_kf - 1, 0)),
             max_candidates=6, exclude_kf=jnp.asarray(-1, jnp.int32),
+            n_words=self.voc.n_words,
         )
         jax.block_until_ready((cand, ok))
 
@@ -734,7 +735,7 @@ class SlamSystem:
                 # pollutes candidate group scoring.
                 cand, ok = kdb.detect_loop_candidates(
                     self.bow_db, covis, res.kf_id, max_candidates=6,
-                    exclude_kf=res.culled_kf,
+                    exclude_kf=res.culled_kf, n_words=self.voc.n_words,
                 )
                 pending.update(covis=covis, cand=cand, ok=ok)
         for a in pending.values():

@@ -1,10 +1,14 @@
 """Keyframe database: BoW-scored retrieval for loop closing & relocalization.
 
 Replaces src/KeyFrameDatabase.cc (310 LoC): the inverted file
-(word → list<KeyFrame*>) plus shared-word counting and covisibility-group
-score aggregation become dense ops over a (K, n_words) BoW matrix — a single
-matvec scores every keyframe at once, and group aggregation uses the
-covisibility matrix already derived from MapState.
+(word → list<KeyFrame*>) becomes a SPARSE-BY-KEYFRAME tf-idf table —
+each keyframe stores its ≤N (word id, value) pairs, so memory is
+O(K·N) at ANY vocabulary size (the packaged 1M-word tree would cost
+256×10⁶×4 B ≈ 1 GB as a dense (K, n_words) matrix; sparse it is 3 MB).
+Scoring a query against every keyframe is one (K·N)-element gather of the
+query's dense vector + an elementwise min — the same Σ min(q, d) L1 score
+DBoW2 computes walking the inverted file. Covisibility-group aggregation
+uses the covisibility matrix already derived from MapState.
 """
 
 from __future__ import annotations
@@ -19,9 +23,15 @@ from gf_orb_slam_tpu.retrieval import vocabulary as vocab_mod
 
 
 class BowDatabase(NamedTuple):
-    """Per-keyframe dense BoW state, capacity-aligned with MapState keyframes."""
+    """Per-keyframe sparse BoW state, capacity-aligned with MapState keyframes.
 
-    bow: jnp.ndarray        # (K, n_words) L1-normalized tf-idf vectors
+    bow_ids[k] holds the distinct word ids of keyframe k in keypoint order
+    (duplicate occurrences and invalid slots padded with n_words, which every
+    gather/scatter treats as out-of-range); bow_vals holds the L1-normalized
+    tf-idf value of each id (0 at padding)."""
+
+    bow_ids: jnp.ndarray    # (K, N) int32 word ids (n_words = padding)
+    bow_vals: jnp.ndarray   # (K, N) float32 tf-idf values (0 at padding)
     words: jnp.ndarray      # (K, N) leaf word id per keypoint (−1 invalid)
     mid_nodes: jnp.ndarray  # (K, N) mid-level node id per keypoint
     valid: jnp.ndarray      # (K,) registered keyframes
@@ -29,7 +39,8 @@ class BowDatabase(NamedTuple):
 
 def empty_db(max_keyframes: int, max_kps: int, n_words: int) -> BowDatabase:
     return BowDatabase(
-        bow=jnp.zeros((max_keyframes, n_words), jnp.float32),
+        bow_ids=jnp.full((max_keyframes, max_kps), n_words, jnp.int32),
+        bow_vals=jnp.zeros((max_keyframes, max_kps), jnp.float32),
         words=jnp.full((max_keyframes, max_kps), -1, jnp.int32),
         mid_nodes=jnp.full((max_keyframes, max_kps), -1, jnp.int32),
         valid=jnp.zeros(max_keyframes, bool),
@@ -39,12 +50,24 @@ def empty_db(max_keyframes: int, max_kps: int, n_words: int) -> BowDatabase:
 def add_keyframe(
     db: BowDatabase, voc: vocab_mod.Vocabulary, kf_id, desc, kp_valid
 ) -> BowDatabase:
-    """Register a keyframe: quantize descriptors + store its BoW vector
+    """Register a keyframe: quantize descriptors + store its sparse BoW row
     (ref KeyFrameDatabase::add + KeyFrame::ComputeBoW)."""
     words, mid = vocab_mod.quantize(voc, desc, kp_valid)
-    v = vocab_mod.bow_vector(voc, words)
-    return BowDatabase(
-        bow=db.bow.at[kf_id].set(v),
+    v = vocab_mod.bow_vector(voc, words)        # dense (n_words,), transient
+    n_words = voc.n_words
+    N = words.shape[0]
+    w = jnp.where(words >= 0, words, n_words)
+    # First-occurrence mask: each distinct word contributes its full tf-idf
+    # value exactly once (later duplicates pad to 0).
+    order = jnp.argsort(w)
+    sw = w[order]
+    first_sorted = jnp.concatenate([jnp.ones(1, bool), sw[1:] != sw[:-1]])
+    first = jnp.zeros(N, bool).at[order].set(first_sorted)
+    ids = jnp.where(first & (w < n_words), w, n_words)
+    vals = jnp.where(ids < n_words, jnp.take(v, jnp.minimum(ids, n_words - 1)), 0.0)
+    return db._replace(
+        bow_ids=db.bow_ids.at[kf_id].set(ids),
+        bow_vals=db.bow_vals.at[kf_id].set(vals),
         words=db.words.at[kf_id].set(words),
         mid_nodes=db.mid_nodes.at[kf_id].set(mid),
         valid=db.valid.at[kf_id].set(True),
@@ -59,21 +82,28 @@ def permute(db: BowDatabase, perm: jnp.ndarray) -> BowDatabase:
     """Apply a keyframe renumbering (from map_state.compact_keyframes) so the
     database rows stay aligned with the map's keyframe slots."""
     return BowDatabase(
-        bow=db.bow[perm],
+        bow_ids=db.bow_ids[perm],
+        bow_vals=db.bow_vals[perm],
         words=db.words[perm],
         mid_nodes=db.mid_nodes[perm],
         valid=db.valid[perm],
     )
 
 
+def _scores_vs_dense(db: BowDatabase, v: jnp.ndarray) -> jnp.ndarray:
+    """(K,) Σ min(q, d) against a dense (n_words,) query — one gather of the
+    query at every keyframe's word ids (padding ids gather 0 via fill)."""
+    q = jnp.take(v, db.bow_ids, mode="fill", fill_value=0.0)   # (K, N)
+    return jnp.sum(jnp.minimum(q, db.bow_vals), axis=1)
+
+
 @jax.jit
 def query_scores(db: BowDatabase, v: jnp.ndarray) -> jnp.ndarray:
     """(n_words,) query vs all keyframes → (K,) L1 scores; invalid → −1."""
-    s = vocab_mod.l1_score(v[None, :], db.bow)
-    return jnp.where(db.valid, s, -1.0)
+    return jnp.where(db.valid, _scores_vs_dense(db, v), -1.0)
 
 
-@partial(jax.jit, static_argnames=("max_candidates",))
+@partial(jax.jit, static_argnames=("max_candidates", "n_words"))
 def detect_loop_candidates(
     db: BowDatabase,
     covis: jnp.ndarray,        # (K, K) covisibility weights from MapState
@@ -81,6 +111,8 @@ def detect_loop_candidates(
     max_candidates: int = 8,
     exclude_kf: jnp.ndarray | int = -1,  # e.g. a keyframe culled this round
                                          # whose BoW row is not yet tombstoned
+    n_words: int = 0,          # vocabulary size (static; densifies the query
+                               # row transiently — 4 MB at 1M words)
 ):
     """ref KeyFrameDatabase::DetectLoopCandidates (cc:75-196):
     - minScore = worst BoW score between the query and its covisible KFs;
@@ -89,9 +121,11 @@ def detect_loop_candidates(
       covisible neighbors; accept ≥ 0.75 × best group score.
     Returns (cand_ids (max_candidates,), cand_ok (max_candidates,)).
     """
-    K = db.bow.shape[0]
-    v = db.bow[query_kf]
-    scores = vocab_mod.l1_score(v[None, :], db.bow)          # (K,)
+    K = db.bow_ids.shape[0]
+    v = jnp.zeros((n_words,), jnp.float32).at[db.bow_ids[query_kf]].add(
+        db.bow_vals[query_kf], mode="drop"
+    )
+    scores = _scores_vs_dense(db, v)                         # (K,)
     # The reference excludes only covisibility-GRAPH neighbors (edges require
     # ≥15 shared points, KeyFrame.cc:372-383); a stray shared point or two
     # must not disqualify a genuine loop candidate.
@@ -135,8 +169,8 @@ def detect_reloc_candidates(
 ):
     """ref DetectRelocalisationCandidates (cc:198-310): same group-scoring
     scheme without the covisibility exclusion (the query is not in the map)."""
-    K = db.bow.shape[0]
-    scores = jnp.where(db.valid, vocab_mod.l1_score(v_query[None, :], db.bow), -1.0)
+    K = db.bow_ids.shape[0]
+    scores = jnp.where(db.valid, _scores_vs_dense(db, v_query), -1.0)
     neigh = covis > 15
     grp = scores[None, :] * (neigh & db.valid[None, :] & (scores > 0)[None, :])
     group_score = scores + jnp.sum(jnp.where(grp > 0, grp, 0.0), axis=1)

@@ -351,10 +351,16 @@ def load_vocabulary(path: str) -> Vocabulary:
 
 def default_vocabulary_path() -> str:
     """The packaged pretrained vocabulary (trained by tools/train_vocabulary.py
-    — the rebuild's ORBvoc equivalent, ref main.cc:92-97)."""
+    — the rebuild's ORBvoc equivalent, ref main.cc:92-97). Prefers the
+    1M-word k=10 L=6 tree (reference scale, TemplatedVocabulary 1M leaves;
+    round-4 stress: margin 4.30 vs the 100k tree's 2.85, near-distractor
+    margin 2.12 vs 1.66, equal quantize cost — docs/vocab_stress_r4.json),
+    falling back to the 100k tree if absent."""
     import os
 
-    return os.path.join(os.path.dirname(__file__), "..", "data", "vocab_100k.npz")
+    d = os.path.join(os.path.dirname(__file__), "..", "data")
+    p1m = os.path.join(d, "vocab_1m.npz")
+    return p1m if os.path.exists(p1m) else os.path.join(d, "vocab_100k.npz")
 
 
 def load_default_vocabulary() -> Vocabulary | None:

@@ -32,7 +32,8 @@ class TestSnapshot:
         np.testing.assert_array_equal(np.asarray(m.pt_pos), np.asarray(m2.pt_pos))
         np.testing.assert_array_equal(np.asarray(m.kf_obs_point), np.asarray(m2.kf_obs_point))
         assert voc2.k == 8 and voc2.L == 2
-        np.testing.assert_array_equal(np.asarray(db.bow), np.asarray(db2.bow))
+        np.testing.assert_array_equal(np.asarray(db.bow_ids), np.asarray(db2.bow_ids))
+        np.testing.assert_array_equal(np.asarray(db.bow_vals), np.asarray(db2.bow_vals))
 
     def test_map_only(self, tmp_path):
         m = small_map()

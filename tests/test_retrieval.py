@@ -174,7 +174,8 @@ class TestKeyframeDatabase:
         for a in range(5):
             covis[a, a + 1] = covis[a + 1, a] = 50
         cand, ok = kdb.detect_loop_candidates(
-            db, jnp.asarray(covis), jnp.asarray(5), max_candidates=4
+            db, jnp.asarray(covis), jnp.asarray(5), max_candidates=4,
+            n_words=voc.n_words,
         )
         cands = set(np.asarray(cand)[np.asarray(ok)].tolist())
         assert 0 in cands, (cands,)
