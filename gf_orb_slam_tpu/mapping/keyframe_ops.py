@@ -293,54 +293,55 @@ def fuse_points_into_keyframes(
     m: ms.MapState,
     target_kfs: jnp.ndarray,   # (F,) keyframe ids
     target_ok: jnp.ndarray,    # (F,) bool — padded/ineligible targets off
-    cand_points: jnp.ndarray,  # (M,) point ids to project into EVERY target
-    cand_use: jnp.ndarray,     # (M,) bool
+    cand_points: jnp.ndarray,  # (F, M) point ids to project per target
+    cand_use: jnp.ndarray,     # (F, M) bool
     radius: float = 3.0,
     scale: float = 1.2,
     n_levels: int = 8,
 ) -> ms.MapState:
-    """Direction-2 SearchInNeighbors fuse (ref LocalMapping.cc:441-459: the
-    new keyframe's points projected into each covisible neighbor), BATCHED
-    over the F targets: one vmapped projection/gate/Hamming pass and ONE
-    update application replace F sequential fuse_into_keyframe calls (the
-    round-4 insertion profile measured those at ~6 ms each — the sequential
-    scatter chains, not the math, were the cost).
+    """Both directions of SearchInNeighbors fuse (ref LocalMapping.cc:
+    411-560: neighbors' points into the new keyframe AND the new keyframe's
+    points into each neighbor), BATCHED over the F targets with per-target
+    candidate lists: one vmapped projection/gate/Hamming pass and ONE update
+    application replace the sequential fuse_into_keyframe calls (the round-4
+    insertion profile measured those at ~6 ms each — the sequential scatter
+    chains, not the math, were the cost).
 
-    Semantics vs the sequential loop: all targets match against the SAME
-    candidate list (the sequential version re-read the new keyframe's row
-    after each neighbor's merges). Merge-chains across targets (a→b in one
-    neighbor, b→c in another) resolve over successive insertions, exactly
-    like the reference's once-per-insertion fuse; conflicting scatter
-    writes resolve last-wins, matching the loop's last-neighbor-wins."""
-    pts = m.pt_pos[cand_points]
-    ok0 = cand_use & m.pt_valid[cand_points]
+    Semantics vs the sequential loop: every target matches against its
+    candidate list as of the program's START (the sequential version re-read
+    rows after each target's merges). Merge-chains across targets (a→b in
+    one neighbor, b→c in another) resolve over successive insertions,
+    exactly like the reference's once-per-insertion fuse; conflicting
+    scatter writes resolve last-wins, matching the loop's
+    last-neighbor-wins."""
     n_obs = ms.point_observation_count(m)
     sigma_lvl = jnp.asarray([scale**i for i in range(n_levels)])
 
-    def per_target(tkf, tok):
-        pose = m.kf_pose[tkf]
+    def per_target(tkf, tok, cand, use):
+        pts = m.pt_pos[cand]
         obs_t = m.kf_obs_point[tkf]
         in_target = jnp.zeros((m.pt_capacity,), bool).at[
             jnp.maximum(obs_t, 0)
         ].max(obs_t >= 0)
-        ok = ok0 & tok & ~in_target[cand_points]
+        ok = use & m.pt_valid[cand] & tok & ~in_target[cand]
+        pose = m.kf_pose[tkf]
         xc = se3.transform_point(pose, pts)
         uvp, depth, front = project(cam, xc)
         c = se3.pose_t(se3.inverse(pose))
         view = pts - c[None, :]
         dist = jnp.linalg.norm(view, axis=-1)
-        cos_view = jnp.sum(view * m.pt_normal[cand_points], axis=-1) / jnp.maximum(
+        cos_view = jnp.sum(view * m.pt_normal[cand], axis=-1) / jnp.maximum(
             dist, 1e-9
         )
-        in_range = (dist >= m.pt_min_dist[cand_points] * 0.8) & (
-            dist <= m.pt_max_dist[cand_points] * 1.2
+        in_range = (dist >= m.pt_min_dist[cand] * 0.8) & (
+            dist <= m.pt_max_dist[cand] * 1.2
         )
         ok = ok & front & in_range & (cos_view > 0.5)
         pred_oct = jnp.clip(
             jnp.ceil(
                 jnp.log(
                     jnp.maximum(
-                        m.pt_max_dist[cand_points] / jnp.maximum(dist, 1e-9), 1e-9
+                        m.pt_max_dist[cand] / jnp.maximum(dist, 1e-9), 1e-9
                     )
                 )
                 / jnp.log(scale)
@@ -354,16 +355,18 @@ def fuse_points_into_keyframes(
             rad, pred_oct,
         )
         res = matching.match(
-            m.pt_desc[cand_points], m.kf_kp_desc[tkf], pmask,
+            m.pt_desc[cand], m.kf_kp_desc[tkf], pmask,
             max_dist=matching.TH_LOW,
         )
         hit = res.matched & ok
         kp_point = m.kf_obs_point[tkf][res.idx]
         return hit, res.idx, kp_point
 
-    hit, idx, kp_point = jax.vmap(per_target)(target_kfs, target_ok)  # (F, M)
+    hit, idx, kp_point = jax.vmap(per_target)(
+        target_kfs, target_ok, cand_points, cand_use
+    )  # (F, M)
     F, M = hit.shape
-    cand_b = jnp.broadcast_to(cand_points[None, :], (F, M))
+    cand_b = cand_points
 
     # Case A: free keypoint slot → claim it. 2-D scatter (row = target kf,
     # col = matched keypoint); duplicate (row, col) writes resolve last-wins,

@@ -130,17 +130,30 @@ def insert_keyframe_fused(
             jnp.where(nb_ok, obs_nb, P).reshape(-1)
         ].set(True, mode="drop")
         order = jnp.where(member, jnp.arange(P, dtype=jnp.int32), P)
-        cand1 = -jax.lax.top_k(-order, min(ba_points, P))[0]    # smallest ids
+        Mf = min(ba_points, P)
+        cand1 = -jax.lax.top_k(-order, Mf)[0]                   # smallest ids
         use1 = cand1 < P
-        m = keyframe_ops.fuse_into_keyframe(
-            cam, m, kf_id, jnp.minimum(cand1, P - 1), use1,
-            scale=scale, n_levels=n_levels,
-        )
-        # Direction 2, all neighbors in ONE batched program (≈6 ms per
-        # sequential call before, round-4 insertion profile).
+        # Both directions in ONE batched program (5 targets): target 0 is the
+        # new keyframe receiving the neighbors' point union; targets 1..F are
+        # the neighbors receiving the new keyframe's points (padded to the
+        # same candidate width). Sequential per-target calls cost ≈6 ms each
+        # in the round-4 insertion profile.
         cand2 = m.kf_obs_point[kf_id]
+        c2 = jnp.full((Mf,), ms.NO_POINT, jnp.int32).at[
+            : min(cand2.shape[0], Mf)
+        ].set(cand2[:Mf])
+        targets = jnp.concatenate([kf_id[None], fuse_ids])
+        t_ok = jnp.concatenate([jnp.ones(1, bool), fuse_ok])
+        cands = jnp.concatenate([
+            jnp.minimum(cand1, P - 1)[None],
+            jnp.broadcast_to(jnp.maximum(c2, 0)[None], (n_fuse_neighbors, Mf)),
+        ])
+        uses = jnp.concatenate([
+            use1[None],
+            jnp.broadcast_to((c2 >= 0)[None], (n_fuse_neighbors, Mf)),
+        ])
         m = keyframe_ops.fuse_points_into_keyframes(
-            cam, m, fuse_ids, fuse_ok, jnp.maximum(cand2, 0), cand2 >= 0,
+            cam, m, targets, t_ok, cands, uses,
             scale=scale, n_levels=n_levels,
         )
 

@@ -100,7 +100,15 @@ def optimize_pose(
         Hd = H + lam * (eye6 * jnp.diagonal(H)[None, :] + 1e-8 * eye6)
         delta = jnp.linalg.solve(Hd, -b)
         new_pose = se3.apply_left_update(delta, pose)
-        old_cost, _ = _cost(cam, pose, points_w, uv_obs, inv_sigma2, active)
+        # Current-pose cost from the residuals already computed above (same
+        # value _cost would produce: same pose → same front-of-camera mask) —
+        # saves one of three full residual passes per LM iteration.
+        rho_old = jnp.where(
+            chi2 <= HUBER_DELTA2,
+            chi2,
+            2.0 * jnp.sqrt(HUBER_DELTA2 * jnp.maximum(chi2, 1e-12)) - HUBER_DELTA2,
+        )
+        old_cost = jnp.sum(jnp.where(m, rho_old, 0.0))
         new_cost, _ = _cost(cam, new_pose, points_w, uv_obs, inv_sigma2, active)
         accept = new_cost < old_cost
         pose = jnp.where(accept, new_pose, pose)

@@ -161,3 +161,42 @@ def duplicate_rate(m, dist_th=0.05, desc_th=50):
     np.fill_diagonal(d2, np.inf)
     dup = (d2 < dist_th**2) & (ham < desc_th)
     return dup.any(axis=1).mean()
+
+
+class TestBatchedFuse:
+    def test_single_target_matches_reference_impl(self, rng):
+        """fuse_points_into_keyframes with F=1 must produce the same map as
+        the single-target fuse_into_keyframe (the reference formulation) —
+        the batching is program structure, not semantics."""
+        m, n = build_duplicated_map(rng)
+        cand = m.kf_obs_point[0]
+        m_ref = keyframe_ops.fuse_into_keyframe(
+            CAM, m, jnp.asarray(1), jnp.maximum(cand, 0), cand >= 0
+        )
+        m_bat = keyframe_ops.fuse_points_into_keyframes(
+            CAM, m, jnp.asarray([1]), jnp.ones(1, bool),
+            jnp.maximum(cand, 0)[None], (cand >= 0)[None],
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m_ref.pt_valid), np.asarray(m_bat.pt_valid)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m_ref.kf_obs_point), np.asarray(m_bat.kf_obs_point)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m_ref.pt_found), np.asarray(m_bat.pt_found)
+        )
+
+    def test_disabled_target_is_identity(self, rng):
+        m, n = build_duplicated_map(rng)
+        cand = m.kf_obs_point[0]
+        m2 = keyframe_ops.fuse_points_into_keyframes(
+            CAM, m, jnp.asarray([1]), jnp.zeros(1, bool),
+            jnp.maximum(cand, 0)[None], (cand >= 0)[None],
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m.kf_obs_point), np.asarray(m2.kf_obs_point)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m.pt_valid), np.asarray(m2.pt_valid)
+        )
