@@ -15,8 +15,11 @@ import sys
 import threading
 import time
 
-WATCHDOG_S = 900  # the axon tunnel can wedge for hours after a killed client;
-                  # emit a parseable failure line instead of hanging forever
+WATCHDOG_S = 1800  # the axon tunnel can wedge for hours after a killed client;
+                   # emit a parseable failure line instead of hanging forever.
+                   # Healthy runs take ~12-14 min (144 renders + 2 systems
+                   # warmed + 20 windows through the tunnel); 900 s left no
+                   # slow-tunnel margin.
 
 
 def _watchdog():
