@@ -58,4 +58,26 @@ def load_map(path: str):
         db = kdb.BowDatabase(**{
             k[len("db_"):]: jnp.asarray(z[k]) for k in z.files if k.startswith("db_")
         })
+    elif "db_bow" in z.files:
+        # Legacy snapshot (pre round-4 sparse rewrite): a dense (K, n_words)
+        # 'bow' matrix alongside words/mid_nodes/valid. Rebuild the sparse
+        # per-keyframe (word id, tf-idf) rows from it instead of silently
+        # dropping loop-closing/relocalization state on resume.
+        bow = np.asarray(z["db_bow"])                     # (K, n_words)
+        words = np.asarray(z["db_words"])                 # (K, N)
+        K, N = words.shape
+        n_words = bow.shape[1]
+        ids = np.full((K, N), n_words, np.int32)
+        vals = np.zeros((K, N), np.float32)
+        for k in range(K):
+            w = words[k]
+            uniq, first = np.unique(w[w >= 0], return_index=True)
+            pos = np.flatnonzero(w >= 0)[first]
+            ids[k, pos] = uniq
+            vals[k, pos] = bow[k, uniq]
+        db = kdb.BowDatabase(
+            bow_ids=jnp.asarray(ids), bow_vals=jnp.asarray(vals),
+            words=jnp.asarray(words), mid_nodes=jnp.asarray(z["db_mid_nodes"]),
+            valid=jnp.asarray(z["db_valid"]),
+        )
     return m, voc, db

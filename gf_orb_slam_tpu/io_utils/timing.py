@@ -27,6 +27,13 @@ STAGES = (
     "fusion",
     "local_ba",
     "loop_closing",
+    # Blocking host time spent WAITING on device results (pipelined-mode
+    # finalize fetches, first-call XLA compiles, tunnel stalls). Kept out of
+    # the per-stage columns so those stay attributable to work: round-4 sweep
+    # artifacts had local_map_track mean 1071 ms / median 6.5 ms / max 246 s
+    # because warmup + fetch stalls landed inside whatever stage happened to
+    # be open (VERDICT r4 weak #4).
+    "pipeline_wait",
     "total",
 )
 
@@ -62,9 +69,11 @@ class TimeLog:
         self._stack.append((stage, time.perf_counter()))
 
     def end(self, stage: str | None = None):
-        if self._current is None or not self._stack:
+        if not self._stack:
             return
         name, t0 = self._stack.pop()
+        if self._current is None:
+            return  # e.g. flush() after the last frame — nothing to charge
         name = stage or name
         dt = (time.perf_counter() - t0) * 1e3
         self._current.stages_ms[name] = self._current.stages_ms.get(name, 0.0) + dt
@@ -100,14 +109,25 @@ class TimeLog:
             return {}
         out = {}
         for s in STAGES:
-            vals = sorted(fr.stages_ms.get(s, 0.0) for fr in self.frames)
-            out[s] = {
-                "mean_ms": sum(vals) / len(vals),
-                # Median is the steady-state number: first-call XLA compiles
-                # land on single frames and dominate the mean/max otherwise.
-                "median_ms": vals[len(vals) // 2],
-                "max_ms": vals[-1],
-            }
+            # Aggregate only over frames where the stage actually ran: a
+            # stage that fires on some frames (keyframe_insert, loop_closing)
+            # must not report a median of 0.0, and a stage measured only on
+            # chip (gf_selection, fusion, ...) must not fabricate host zeros.
+            vals = sorted(
+                fr.stages_ms[s] for fr in self.frames if s in fr.stages_ms
+            )
+            entry = {}
+            if vals:
+                entry = {
+                    "n": len(vals),
+                    "mean_ms": sum(vals) / len(vals),
+                    # Median is the steady-state number: first-call XLA
+                    # compiles land on single frames and dominate mean/max.
+                    "median_ms": vals[len(vals) // 2],
+                    "max_ms": vals[-1],
+                }
             if self.device_stages_ms and s in self.device_stages_ms:
-                out[s]["device_ms"] = self.device_stages_ms[s]
+                entry["device_ms"] = self.device_stages_ms[s]
+            if entry:
+                out[s] = entry
         return out

@@ -36,10 +36,21 @@ from gf_orb_slam_tpu.solvers import pose_graph, sim3_solver
 class LoopMatch(NamedTuple):
     ok: jnp.ndarray
     S12: jnp.ndarray          # Sim3: candidate-KF camera → query-KF camera
-    n_inliers: jnp.ndarray
+    n_inliers: jnp.ndarray    # OptimizeSim3 post-refine inlier count
+    # Per-gate funnel statistics (the round-5 precision/recall study's raw
+    # material — each verify gate's count regardless of the accept decision):
+    n_bow: jnp.ndarray        # BoW-gated 3D-3D matches fed to Sim3 RANSAC
+    n_ransac: jnp.ndarray     # best-hypothesis RANSAC inlier count
+    n_guided: jnp.ndarray     # matches after the Sim3-guided rematch union
 
 
-@partial(jax.jit, static_argnames=("cam", "scale", "n_levels"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cam", "scale", "n_levels", "ransac_floor", "accept_ransac",
+        "accept_refine", "n_hypotheses", "rematch_radius",
+    ),
+)
 def verify_candidate(
     cam: CameraModel,
     m: ms.MapState,
@@ -49,6 +60,14 @@ def verify_candidate(
     key: jnp.ndarray,
     scale: float = 1.2,
     n_levels: int = 8,
+    ransac_floor: int = 20,   # RANSAC gate floor; the probe mode lowers it so
+                              # borderline candidates still flow through
+                              # rematch+refine and get funnel stats recorded
+    accept_ransac: int = 20,  # shipped accept: RANSAC inliers ≥ this …
+    accept_refine: int = 20,  # … AND OptimizeSim3 inliers ≥ this (ref
+                              # LoopClosing.cc:398 nInliers>=20)
+    n_hypotheses: int = 128,
+    rematch_radius: float = 7.5,  # ref SearchBySim3 th=7.5 × octave scale
 ) -> LoopMatch:
     """ComputeSim3 for one candidate: BoW-gated matching of the two keyframes'
     map points, then Sim3 RANSAC on the matched 3D-3D pairs."""
@@ -81,7 +100,8 @@ def verify_candidate(
     s2 = sigma2[m.kf_kp_octave[cand_kf][res.idx]]
 
     sres = sim3_solver.solve_sim3_ransac(
-        cam, x1, x2, uv1, uv2, s1, s2, good, key, min_inliers=20
+        cam, x1, x2, uv1, uv2, s1, s2, good, key,
+        n_hypotheses=n_hypotheses, min_inliers=ransac_floor,
     )
 
     # --- Sim3-guided re-match (ref ORBmatcher::SearchBySim3, cc:1841-2079):
@@ -99,7 +119,7 @@ def verify_candidate(
     p_c = sim3_solver._project(cam, s3.transform_point(S21[None], x1))     # (N,2)
     sig1 = jnp.sqrt(s1)
     sig2 = jnp.sqrt(sigma2[m.kf_kp_octave[cand_kf]])
-    r_th = 7.5  # ref SearchBySim3 th=7.5 × octave scale
+    r_th = rematch_radius
     d_a = jnp.sum((uv1[:, None, :] - p_q[None, :, :]) ** 2, axis=-1)  # (Nq,Nc)
     d_b = jnp.sum((p_c[:, None, :] - uv2_all[None, :, :]) ** 2, axis=-1)
     guided = (
@@ -127,9 +147,14 @@ def verify_candidate(
         cam, S12, x1, x2_u, uv1, uv2_u, s1, s2_u, valid_u, n_iters=10
     )
     n_ref = jnp.sum(inl_ref.astype(jnp.int32))
-    ok = sres.ok & (n_ref >= 20)
+    ok = (sres.n_inliers >= accept_ransac) & (n_ref >= accept_refine)
     S_final = jnp.where(ok, S_ref, S12)
-    return LoopMatch(ok=ok, S12=S_final, n_inliers=n_ref)
+    return LoopMatch(
+        ok=ok, S12=S_final, n_inliers=n_ref,
+        n_bow=jnp.sum(good.astype(jnp.int32)),
+        n_ransac=sres.n_inliers,
+        n_guided=jnp.sum(valid_u.astype(jnp.int32)),
+    )
 
 
 @partial(jax.jit, static_argnames=("cam", "n_iters", "n_fuse_targets", "n_fuse_sources", "scale", "n_levels"))
@@ -240,10 +265,13 @@ class LoopDetector:
         self.consistency_threshold = consistency_threshold
         self.prev_groups: list[tuple[set, int]] = []  # (covisible-group, streak)
 
-    def update(self, cand_ids, cand_ok, covis_row_of) -> list[int]:
-        """Returns candidate keyframes whose group has been consistent for
-        ≥ threshold consecutive detections."""
-        consistent = []
+    def update_streaks(self, cand_ids, cand_ok, covis_row_of) -> list[tuple[int, int]]:
+        """Advance the consistency state; returns (candidate, streak-length)
+        for EVERY eligible candidate this round (streak 1 = first sighting).
+        Exposing sub-threshold streaks lets the gate-study probe shadow-verify
+        candidates the shipped threshold would not, without changing what the
+        shipped `update` admits."""
+        pairs = []
         new_groups: list[tuple[set, int]] = []
         for c, ok in zip(cand_ids, cand_ok):
             if not ok:
@@ -254,10 +282,17 @@ class LoopDetector:
                 if group & prev_set:
                     streak = max(streak, prev_streak + 1)
             new_groups.append((group, streak))
-            if streak + 1 >= self.consistency_threshold:
-                consistent.append(int(c))
+            pairs.append((int(c), streak + 1))
         self.prev_groups = new_groups
-        return consistent
+        return pairs
+
+    def update(self, cand_ids, cand_ok, covis_row_of) -> list[int]:
+        """Returns candidate keyframes whose group has been consistent for
+        ≥ threshold consecutive detections."""
+        return [
+            c for c, s in self.update_streaks(cand_ids, cand_ok, covis_row_of)
+            if s >= self.consistency_threshold
+        ]
 
     def reset(self):
         self.prev_groups = []

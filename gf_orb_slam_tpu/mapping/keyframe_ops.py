@@ -155,10 +155,16 @@ def cull_points(
     m: ms.MapState,
     current_kf: jnp.ndarray,
     min_found_ratio: float = 0.25,
+    n_obs: jnp.ndarray | None = None,
 ) -> ms.MapState:
     """Remove low-quality recent points: found/visible < 0.25, or ≥2 keyframes
-    old with ≤2 observations (monocular rule)."""
-    n_obs = ms.point_observation_count(m)
+    old with ≤2 observations (monocular rule).
+
+    n_obs may be passed in to share the (K,N) observation-count scatter with
+    other stages of a fused program (the scatter itself is pt_valid-agnostic;
+    point_observation_count masks dead points afterwards)."""
+    if n_obs is None:
+        n_obs = ms.point_observation_count(m)
     age = current_kf - m.pt_first_kf
     found_ratio = m.pt_found.astype(jnp.float32) / jnp.maximum(
         m.pt_visible.astype(jnp.float32), 1.0
@@ -268,17 +274,19 @@ def fuse_into_keyframe(
     )
     obs = m.kf_obs_point
     obs = jnp.where(obs >= 0, remap[jnp.maximum(obs, 0)], obs)
-    killed = jnp.zeros(m.pt_capacity, bool).at[jnp.where(dup, old_id, m.pt_capacity)].set(
-        True, mode="drop"
-    )
+    killed = m.pt_valid & (remap != jnp.arange(m.pt_capacity, dtype=jnp.int32))
     # Merge visible/found counters into the survivor (ref MapPoint::Replace,
-    # MapPoint.cc — IncreaseVisible/IncreaseFound carried over).
-    add_vis = jnp.zeros(m.pt_capacity, jnp.int32).at[
-        jnp.where(dup, new_id, m.pt_capacity)
-    ].add(jnp.where(dup, m.pt_visible[jnp.maximum(old_id, 0)], 0), mode="drop")
-    add_fnd = jnp.zeros(m.pt_capacity, jnp.int32).at[
-        jnp.where(dup, new_id, m.pt_capacity)
-    ].add(jnp.where(dup, m.pt_found[jnp.maximum(old_id, 0)], 0), mode="drop")
+    # MapPoint.cc — IncreaseVisible/IncreaseFound carried over). Keyed by the
+    # KILLED point id (a (P,)-wide mask), not by dup pair: each dead point
+    # donates its counters exactly once to its final survivor remap[p], even
+    # if the same (old,new) pair was detected by several candidate rows.
+    surv = jnp.where(killed, remap, m.pt_capacity)
+    add_vis = jnp.zeros(m.pt_capacity, jnp.int32).at[surv].add(
+        jnp.where(killed, m.pt_visible, 0), mode="drop"
+    )
+    add_fnd = jnp.zeros(m.pt_capacity, jnp.int32).at[surv].add(
+        jnp.where(killed, m.pt_found, 0), mode="drop"
+    )
     m = m._replace(
         kf_obs_point=obs,
         pt_valid=m.pt_valid & ~killed,
@@ -298,6 +306,7 @@ def fuse_points_into_keyframes(
     radius: float = 3.0,
     scale: float = 1.2,
     n_levels: int = 8,
+    n_obs: jnp.ndarray | None = None,
 ) -> ms.MapState:
     """Both directions of SearchInNeighbors fuse (ref LocalMapping.cc:
     411-560: neighbors' points into the new keyframe AND the new keyframe's
@@ -314,7 +323,8 @@ def fuse_points_into_keyframes(
     exactly like the reference's once-per-insertion fuse; conflicting
     scatter writes resolve last-wins, matching the loop's
     last-neighbor-wins."""
-    n_obs = ms.point_observation_count(m)
+    if n_obs is None:
+        n_obs = ms.point_observation_count(m)
     sigma_lvl = jnp.asarray([scale**i for i in range(n_levels)])
 
     def per_target(tkf, tok, cand, use):
@@ -368,15 +378,16 @@ def fuse_points_into_keyframes(
     F, M = hit.shape
     cand_b = cand_points
 
-    # Case A: free keypoint slot → claim it. 2-D scatter (row = target kf,
-    # col = matched keypoint); duplicate (row, col) writes resolve last-wins,
-    # as in the sequential loop.
+    # Case A: free keypoint slot → claim it. FLAT 1-D scatter (k·N + slot):
+    # multi-dimensional scatter indices lower to a much slower TPU path than
+    # a single index vector (same lesson as map_state.incidence). Duplicate
+    # writes resolve last-wins, as in the sequential loop.
+    K, Nk = m.kf_obs_point.shape
     claim = hit & (kp_point == ms.NO_POINT)
-    rows = jnp.where(claim, target_kfs[:, None], m.kf_capacity)
-    cols = jnp.where(claim, idx, 0)
-    obs_all = m.kf_obs_point.at[rows, cols].set(
-        jnp.where(claim, cand_b, 0), mode="drop"
-    )
+    flat_idx = jnp.where(claim, target_kfs[:, None] * Nk + idx, K * Nk)
+    obs_all = m.kf_obs_point.reshape(-1).at[flat_idx.reshape(-1)].set(
+        jnp.where(claim, cand_b, 0).reshape(-1), mode="drop"
+    ).reshape(K, Nk)
     m = m._replace(kf_obs_point=obs_all)
 
     # Case B: occupied by a DIFFERENT point → keep the better-observed one.
@@ -398,19 +409,21 @@ def fuse_points_into_keyframes(
     )
     obs = m.kf_obs_point
     obs = jnp.where(obs >= 0, remap[jnp.maximum(obs, 0)], obs)
-    killed_ids = jnp.where(dup & (remap[jnp.maximum(old_id, 0)] != old_id),
-                           old_id, m.pt_capacity)
-    killed = jnp.zeros(m.pt_capacity, bool).at[killed_ids.reshape(-1)].set(
-        True, mode="drop"
+    killed = m.pt_valid & (remap != jnp.arange(m.pt_capacity, dtype=jnp.int32))
+    # Counter merges keyed by the killed point id, not by dup pair: all F
+    # targets share the same candidate list, so the same (old,new) merge can
+    # be detected by several targets — a pair-keyed scatter-add would donate
+    # the old point's visible/found counters k times (and tie/re-anchored
+    # survivors would donate without dying). One (P,)-wide pass adds each
+    # dead point's counters exactly once to its final survivor remap[p]
+    # (advisor finding, round 4).
+    surv = jnp.where(killed, remap, m.pt_capacity)
+    add_vis = jnp.zeros(m.pt_capacity, jnp.int32).at[surv].add(
+        jnp.where(killed, m.pt_visible, 0), mode="drop"
     )
-    add_vis = jnp.zeros(m.pt_capacity, jnp.int32).at[
-        jnp.where(dup, new_id, m.pt_capacity).reshape(-1)
-    ].add(jnp.where(dup, m.pt_visible[jnp.maximum(old_id, 0)], 0).reshape(-1),
-          mode="drop")
-    add_fnd = jnp.zeros(m.pt_capacity, jnp.int32).at[
-        jnp.where(dup, new_id, m.pt_capacity).reshape(-1)
-    ].add(jnp.where(dup, m.pt_found[jnp.maximum(old_id, 0)], 0).reshape(-1),
-          mode="drop")
+    add_fnd = jnp.zeros(m.pt_capacity, jnp.int32).at[surv].add(
+        jnp.where(killed, m.pt_found, 0), mode="drop"
+    )
     return m._replace(
         kf_obs_point=obs,
         pt_valid=m.pt_valid & ~killed,
@@ -432,30 +445,43 @@ def fuse_points_into_keyframes(
 
 
 @partial(jax.jit, static_argnames=("n_levels",))
-def keyframe_redundancy(m: ms.MapState, n_levels: int = 8) -> jnp.ndarray:
-    """(K,) float — fraction of each keyframe's tracked points that are seen
-    by ≥3 OTHER keyframes at the same-or-finer scale (ref LocalMapping::
-    KeyFrameCulling, cc:562-618: observers with scaleLevel ≤ this observation's
-    scaleLevel + 1 count; thObs = 3). One flat scatter-add builds the
-    per-point octave histogram; a cumulative sum answers every (keyframe,
-    observation) redundancy query by gather."""
+def keyframe_redundancy(
+    m: ms.MapState, n_levels: int = 8, rows: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Fraction of each keyframe's tracked points that are seen by ≥3 OTHER
+    keyframes at the same-or-finer scale (ref LocalMapping::KeyFrameCulling,
+    cc:562-618: observers with scaleLevel ≤ this observation's scaleLevel + 1
+    count; thObs = 3). One flat scatter-add builds the per-point octave
+    histogram; a cumulative sum answers every (keyframe, observation)
+    redundancy query by gather.
+
+    rows=None → (K,) over all keyframes. rows=(Kc,) keyframe ids → (Kc,)
+    restricted to those rows: the observer histogram still covers the whole
+    map, but the expensive (K, N) answer gather shrinks to (Kc, N) — the
+    reference only ever culls the current keyframe's covisible locals."""
     K, N = m.kf_obs_point.shape
     P = m.pt_capacity
-    obs = m.kf_obs_point
-    ok = (obs >= 0) & m.kf_valid[:, None] & m.pt_valid[jnp.maximum(obs, 0)]
-    oct_ = jnp.clip(m.kf_kp_octave, 0, n_levels - 1)
-    flat = jnp.where(ok, obs * n_levels + oct_, P * n_levels)
+    obs_all = m.kf_obs_point
+    ok_all = (obs_all >= 0) & m.kf_valid[:, None] & m.pt_valid[jnp.maximum(obs_all, 0)]
+    oct_all = jnp.clip(m.kf_kp_octave, 0, n_levels - 1)
+    flat = jnp.where(ok_all, obs_all * n_levels + oct_all, P * n_levels)
     cnt = jnp.zeros((P * n_levels,), jnp.int32).at[flat.reshape(-1)].add(
         1, mode="drop"
     )
     cum = jnp.cumsum(cnt.reshape(P, n_levels), axis=1)   # observers at octave ≤ o
+    if rows is None:
+        obs, ok, oct_, kfv = obs_all, ok_all, oct_all, m.kf_valid
+    else:
+        obs, ok, oct_, kfv = (
+            obs_all[rows], ok_all[rows], oct_all[rows], m.kf_valid[rows]
+        )
     oct_p1 = jnp.minimum(oct_ + 1, n_levels - 1)
     # Subtract self: this keyframe's own observation is at octave ≤ octave+1.
     n_other = cum[jnp.maximum(obs, 0), oct_p1] - 1
     red = ok & (n_other >= 3)
     n_has = jnp.sum(ok, axis=1)
     return jnp.where(
-        m.kf_valid & (n_has > 0),
+        kfv & (n_has > 0),
         jnp.sum(red, axis=1) / jnp.maximum(n_has, 1),
         0.0,
     )

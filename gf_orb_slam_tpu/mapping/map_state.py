@@ -151,17 +151,23 @@ def covisibility_row(m: MapState, kf_id: jnp.ndarray) -> jnp.ndarray:
     return w.at[kf_id].set(0)
 
 
+def point_observation_count_raw(m: MapState) -> jnp.ndarray:
+    """(P,) int32 observation counts WITHOUT the pt_valid mask — the (K·N)
+    scatter-add is independent of point validity, so fused programs can run
+    it once and re-mask per stage as points die (cull → fuse share it)."""
+    obs = m.kf_obs_point
+    ok = (obs >= 0) & m.kf_valid[:, None]
+    return jnp.zeros((m.pt_capacity,), jnp.int32).at[
+        jnp.where(ok, obs, m.pt_capacity).reshape(-1)
+    ].add(1, mode="drop")
+
+
 def point_observation_count(m: MapState) -> jnp.ndarray:
     """(P,) int32 — number of keyframes observing each point.
 
     Direct 1-D scatter-add from the observation table — building the full
     (K, P) incidence just to column-reduce it costs a K·P materialization."""
-    obs = m.kf_obs_point
-    ok = (obs >= 0) & m.kf_valid[:, None]
-    cnt = jnp.zeros((m.pt_capacity,), jnp.int32).at[
-        jnp.where(ok, obs, m.pt_capacity).reshape(-1)
-    ].add(1, mode="drop")
-    return cnt * m.pt_valid.astype(jnp.int32)
+    return point_observation_count_raw(m) * m.pt_valid.astype(jnp.int32)
 
 
 def spanning_tree_parent(m: MapState, W: jnp.ndarray | None = None) -> jnp.ndarray:

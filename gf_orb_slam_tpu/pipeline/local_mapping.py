@@ -29,13 +29,14 @@ class InsertResult(NamedTuple):
     m: ms.MapState
     kf_id: jnp.ndarray
     culled_kf: jnp.ndarray   # () int32 — keyframe tombstoned this round (−1 none)
+    view: object             # track_view.TrackView around the new keyframe
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "cam", "scale", "n_levels", "ba_window", "ba_fixed", "n_tri_neighbors",
-        "ba_points", "ba_iters", "n_fuse_neighbors",
+        "ba_points", "ba_iters", "n_fuse_neighbors", "view_size",
     ),
     donate_argnums=(1,),
 )
@@ -59,6 +60,7 @@ def insert_keyframe_fused(
     ba_points: int = 2048,
     ba_iters: tuple = (5, 10),
     n_fuse_neighbors: int = 4,
+    view_size: int = 4096,
 ) -> InsertResult:
     """Insert + run the whole local-mapping pipeline. kp_* arrays must already
     be padded to the map's keypoint capacity."""
@@ -103,7 +105,14 @@ def insert_keyframe_fused(
             m_tri, m,
         )
 
-    m = keyframe_ops.cull_points(m, kf_id)
+    # One shared (K·N) observation-count scatter for culling AND fusion: the
+    # scatter is pt_valid-agnostic, so each stage just re-masks it (the two
+    # separate point_observation_count calls cost a full scatter each in the
+    # round-4 program).
+    cnt_raw = ms.point_observation_count_raw(m)
+    m = keyframe_ops.cull_points(
+        m, kf_id, n_obs=cnt_raw * m.pt_valid.astype(jnp.int32)
+    )
 
     # --- SearchInNeighbors: fuse duplicate points both directions (ref
     # LocalMapping.cc:411-560 + ORBmatcher::Fuse cc:1590-1709). Direction 1:
@@ -114,10 +123,14 @@ def insert_keyframe_fused(
     N = m.kp_capacity
     P = m.pt_capacity
     if n_fuse_neighbors > 0:  # static: 0 compiles fusion out entirely
-        # Reuse the pre-triangulation covisibility row (w_row): triangulated
-        # points only add weight to the triangulation partners, which are
-        # already at the top, so the top-F neighbor set is unchanged — and
-        # recomputing the row costs ~3 ms on chip (round-4 insertion profile).
+        # Reuse the pre-triangulation covisibility row (w_row) — an
+        # APPROXIMATION: triangulation partners are chosen from the
+        # baseline-gated w_eff, so a co-located (gated-out) keyframe can
+        # outrank a partner that just gained triangulated points, and the
+        # top-F set here may differ from a recomputed row's. Accepted
+        # heuristic drift: recomputing the row costs ~3 ms on chip (round-4
+        # insertion profile) and fusion only needs *well-covisible* neighbors,
+        # not exactly the top-F.
         fw, fuse_ids = jax.lax.top_k(w_row, n_fuse_neighbors)
         fuse_ok = fw >= 10
         # Direction-1 candidates: the UNION of the neighbors' points,
@@ -130,7 +143,11 @@ def insert_keyframe_fused(
             jnp.where(nb_ok, obs_nb, P).reshape(-1)
         ].set(True, mode="drop")
         order = jnp.where(member, jnp.arange(P, dtype=jnp.int32), P)
-        Mf = min(ba_points, P)
+        # Candidate slab width: at least kp_capacity so direction-2 (the new
+        # keyframe's own point list, one entry per keypoint slot) is never
+        # silently truncated when n_features outgrows ba_points (advisor
+        # finding, round 4); ba_points bounds direction-1's union as before.
+        Mf = min(max(ba_points, N), P)
         cand1 = -jax.lax.top_k(-order, Mf)[0]                   # smallest ids
         use1 = cand1 < P
         # Both directions in ONE batched program (5 targets): target 0 is the
@@ -155,6 +172,7 @@ def insert_keyframe_fused(
         m = keyframe_ops.fuse_points_into_keyframes(
             cam, m, targets, t_ok, cands, uses,
             scale=scale, n_levels=n_levels,
+            n_obs=cnt_raw * m.pt_valid.astype(jnp.int32),
         )
 
     # --- local BA over the top covisibility window (fixed shapes) ---
@@ -257,21 +275,56 @@ def insert_keyframe_fused(
     m = ms.refresh_point_stats(m, scale=scale, n_levels=n_levels, update_desc=False)
 
     # --- keyframe culling: one most-redundant candidate per insertion ---
+    # Candidates are the new keyframe's top-covisibility neighbors ONLY — the
+    # reference culls among the current keyframe's covisible locals
+    # (LocalMapping::KeyFrameCulling iterates GetVectorCovisibleKeyFrames(),
+    # cc:562-571), and restricting the redundancy gather to 32 rows instead
+    # of all 256 cuts the per-insertion (K,N) gather cost (round-5 profile).
     # The newest keyframes are protected: in slow sweeps every fresh keyframe
     # is instantly "redundant" (its tracked points are all re-observations),
     # but culling it starves triangulation of recent baselines and the map
     # stops growing into newly-seen territory (the reference avoids this
     # implicitly — culling lags insertion by the LocalMapping queue).
-    red = keyframe_ops.keyframe_redundancy(m, n_levels=n_levels)
-    protect = (
-        (jnp.arange(m.kf_capacity) <= 1)
-        | (jnp.arange(m.kf_capacity) >= kf_id - 2)
-    )
+    cull_rows = jax.lax.top_k(w_row, min(32, m.kf_capacity))[1]
+    red = keyframe_ops.keyframe_redundancy(m, n_levels=n_levels, rows=cull_rows)
+    protect = (cull_rows <= 1) | (cull_rows >= kf_id - 2) | (w_row[cull_rows] <= 0)
     red = jnp.where(protect, 0.0, red)
-    worst = jnp.argmax(red).astype(jnp.int32)
-    do_cull = red[worst] > 0.9
+    j = jnp.argmax(red)
+    worst = cull_rows[j].astype(jnp.int32)
+    do_cull = red[j] > 0.9
     m_culled = ms.erase_keyframe(m, worst)
     m = jax.tree.map(lambda a, b: jnp.where(do_cull, a, b), m_culled, m)
     culled = jnp.where(do_cull, worst, -1)
 
-    return InsertResult(m=m, kf_id=kf_id, culled_kf=culled)
+    # --- compact tracking view around the new keyframe (track_view.
+    # compute_track_view folded in): the host previously dispatched it as a
+    # separate program that rebuilt the FULL covisibility matrix; reusing
+    # w_row for the neighbor ranking makes it nearly free here and removes a
+    # dispatch from the insertion sequence. Same w_row approximation as the
+    # fusion/BA-window selection above.
+    from gf_orb_slam_tpu.pipeline import track_view as tv
+
+    P = m.pt_capacity
+    w_view = w_row.at[kf_id].set(jnp.int32(1 << 30))
+    _, view_kfs = jax.lax.top_k(w_view, 12)
+    member = jnp.zeros((P,), bool)
+    for i in range(12):
+        vk = view_kfs[i]
+        obs_v = m.kf_obs_point[vk]
+        ok_v = (obs_v >= 0) & m.kf_valid[vk] & (w_view[vk] > 0)
+        member = member.at[jnp.where(ok_v, obs_v, P)].set(True, mode="drop")
+    member = member & m.pt_valid
+    order_v = jnp.where(member, jnp.arange(P, dtype=jnp.int32), P)
+    vids = -jax.lax.top_k(-order_v, view_size)[0]
+    v_valid = vids < P
+    safe_v = jnp.minimum(vids, P - 1)
+    view = tv.TrackView(
+        ids=jnp.where(v_valid, vids, P).astype(jnp.int32),
+        valid=v_valid,
+        desc=m.pt_desc[safe_v],
+        normal=m.pt_normal[safe_v],
+        min_dist=m.pt_min_dist[safe_v],
+        max_dist=m.pt_max_dist[safe_v],
+    )
+
+    return InsertResult(m=m, kf_id=kf_id, culled_kf=culled, view=view)

@@ -111,9 +111,14 @@ def detect_loop_candidates(
     max_candidates: int = 8,
     exclude_kf: jnp.ndarray | int = -1,  # e.g. a keyframe culled this round
                                          # whose BoW row is not yet tombstoned
-    n_words: int = 0,          # vocabulary size (static; densifies the query
-                               # row transiently — 4 MB at 1M words)
+    *,
+    n_words: int,              # vocabulary size (static; densifies the query
+                               # row transiently — 4 MB at 1M words). Required:
+                               # a zero default would silently densify to a
+                               # zero-length query and return no candidates.
 ):
+    if n_words <= 0:
+        raise ValueError("detect_loop_candidates needs n_words > 0")
     """ref KeyFrameDatabase::DetectLoopCandidates (cc:75-196):
     - minScore = worst BoW score between the query and its covisible KFs;
     - candidates: non-connected keyframes scoring ≥ minScore;
@@ -180,6 +185,51 @@ def detect_reloc_candidates(
     ranked = jnp.where(keep, group_score, -1.0)
     top_vals, top_ids = jax.lax.top_k(ranked, max_candidates)
     return top_ids.astype(jnp.int32), top_vals > 0
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "L", "n_words", "max_candidates", "do_detect"),
+    donate_argnums=(0,),
+)
+def register_and_detect(
+    db: BowDatabase,
+    centers: jnp.ndarray,
+    weights: jnp.ndarray,
+    children: jnp.ndarray | None,
+    word_of_node: jnp.ndarray | None,
+    m,                         # mapping.map_state.MapState (read-only here)
+    kf_id: jnp.ndarray,
+    exclude_kf: jnp.ndarray,
+    *,
+    k: int,
+    L: int,
+    n_words: int,
+    max_candidates: int = 6,
+    do_detect: bool = True,
+):
+    """Post-insertion place-recognition work as ONE device program: quantize
+    the new keyframe's descriptors, register its sparse BoW row, build the
+    covisibility matrix, and rank loop candidates. Previously this ran as
+    eager host calls (add_keyframe ≈10 dispatches incl. a dense (n_words,)
+    bow_vector build, covisibility ≈4, detect 1) — ~15 tunnel round trips per
+    keyframe insertion; now it is one dispatch. Returns (db', covis, cand,
+    ok); covis/cand/ok are None when do_detect=False (early map)."""
+    from gf_orb_slam_tpu.mapping import map_state as _ms
+
+    voc = vocab_mod.Vocabulary(
+        centers=centers, weights=weights, k=k, L=L,
+        children=children, word_of_node=word_of_node,
+    )
+    db = add_keyframe(db, voc, kf_id, m.kf_kp_desc[kf_id], m.kf_kp_valid[kf_id])
+    if not do_detect:
+        return db, None, None, None
+    covis = _ms.covisibility(m)
+    cand, ok = detect_loop_candidates(
+        db, covis, kf_id, max_candidates=max_candidates,
+        exclude_kf=exclude_kf, n_words=n_words,
+    )
+    return db, covis, cand, ok
 
 
 def bow_match_mask(

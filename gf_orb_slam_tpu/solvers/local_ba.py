@@ -85,13 +85,23 @@ def _cost(cam, poses, points, obs_uv, obs_point, obs_w, active):
 
 
 def _lm_step(cam: CameraModel, prob: BAProblem, active, lam):
-    """One damped Schur-reduced Gauss-Newton step. Returns (dξ (C,6), dX (P,3))."""
+    """One damped Schur-reduced Gauss-Newton step.
+
+    Returns (dξ (C,6), dX (P,3), cost-at-current-state): the Huber cost is
+    derived from the residuals this step already computed, so the LM accept
+    test needs only ONE extra residual pass (at the proposed state) instead
+    of two — same reuse as pose_opt.lm_iter (round-4 lesson: latency-bound
+    scan bodies amplify recomputed subexpressions)."""
     C, N = prob.obs_point.shape
     P = prob.points.shape[0]
     r, Jpose, Jpt, ok = _edge_terms(
         cam, prob.poses, prob.points, prob.obs_uv, prob.obs_point, active
     )
-    w, _ = _robust_w(r, prob.obs_w, ok)  # fixed cams keep weight: they still constrain points
+    w, chi2 = _robust_w(r, prob.obs_w, ok)  # fixed cams keep weight: they still constrain points
+    rho = jnp.where(
+        chi2 <= HUBER2, chi2, 2.0 * jnp.sqrt(HUBER2 * jnp.maximum(chi2, 1e-12)) - HUBER2
+    )
+    cost_here = jnp.sum(jnp.where(ok, rho, 0.0))
 
     lp = jnp.maximum(prob.obs_point, 0)
 
@@ -163,7 +173,7 @@ def _lm_step(cam: CameraModel, prob: BAProblem, active, lam):
         "pij,pj->pi", Vinv, g_p - jnp.einsum("pcij,ci->pj", T, delta_c)
     )
     delta_p = jnp.where(prob.point_valid[:, None], delta_p, 0.0)
-    return delta_c, delta_p
+    return delta_c, delta_p, cost_here
 
 
 def _apply(prob: BAProblem, delta_c, delta_p):
@@ -186,9 +196,8 @@ def bundle_adjust(
     def lm_iter(carry, _):
         poses, points, active, lam = carry
         p = prob._replace(poses=poses, points=points)
-        dc, dp = _lm_step(cam, p, active, lam)
+        dc, dp, c_old = _lm_step(cam, p, active, lam)
         new_poses, new_points = _apply(p, dc, dp)
-        c_old = _cost(cam, poses, points, prob.obs_uv, prob.obs_point, prob.obs_w, active)
         c_new = _cost(cam, new_poses, new_points, prob.obs_uv, prob.obs_point, prob.obs_w, active)
         good = c_new < c_old
         poses = jnp.where(good, new_poses, poses)

@@ -187,6 +187,50 @@ class TestBatchedFuse:
             np.asarray(m_ref.pt_found), np.asarray(m_bat.pt_found)
         )
 
+    def test_counters_added_once_for_pair_seen_by_multiple_targets(self, rng):
+        """All F targets share the new keyframe's candidate list, so the same
+        (old,new) merge pair can be detected by several targets at once. The
+        survivor must receive the dead point's visible/found counters exactly
+        ONCE (advisor finding, round 4: a pair-keyed scatter-add donated them
+        k times, permanently inflating the found/visible culling ratio)."""
+        m, n = build_duplicated_map(rng)
+        # KF3 := copy of KF1 (second observer of every duplicate id);
+        # KF4 := copy of KF0 (third observer of every clean id, so the clean
+        # copies still win the obs-count vote 3 > 2).
+        m, _ = ms.add_keyframe(
+            m, m.kf_pose[1], jnp.asarray(3), jnp.asarray(3.0),
+            m.kf_kp_uv[1], m.kf_kp_octave[1], m.kf_kp_angle[1],
+            m.kf_kp_desc[1], m.kf_kp_valid[1], m.kf_obs_point[1],
+        )
+        m, _ = ms.add_keyframe(
+            m, m.kf_pose[0], jnp.asarray(4), jnp.asarray(4.0),
+            m.kf_kp_uv[0], m.kf_kp_octave[0], m.kf_kp_angle[0],
+            m.kf_kp_desc[0], m.kf_kp_valid[0], m.kf_obs_point[0],
+        )
+        m = m._replace(
+            pt_visible=m.pt_visible.at[n : 2 * n].set(9),
+            pt_found=m.pt_found.at[n : 2 * n].set(7),
+        )
+        cand = m.kf_obs_point[0]
+        # Both targets (KF1 and KF3) hold the duplicate ids and receive the
+        # clean candidate list — every merge pair is detected twice.
+        m2 = keyframe_ops.fuse_points_into_keyframes(
+            CAM, m, jnp.asarray([1, 3]), jnp.ones(2, bool),
+            jnp.broadcast_to(jnp.maximum(cand, 0)[None], (2, cand.shape[0])),
+            jnp.broadcast_to((cand >= 0)[None], (2, cand.shape[0])),
+        )
+        died = np.asarray(m.pt_valid & ~m2.pt_valid)
+        assert died[n : 2 * n].sum() > 0, "no duplicates were fused"
+        vis2, fnd2 = np.asarray(m2.pt_visible), np.asarray(m2.pt_found)
+        vis1, fnd1 = np.asarray(m.pt_visible), np.asarray(m.pt_found)
+        for dup_id in np.flatnonzero(died):
+            surv = dup_id - n  # clean copy of the same landmark
+            assert vis2[surv] == vis1[surv] + 9, (
+                f"survivor {surv} got visible +{vis2[surv] - vis1[surv]}, "
+                "expected exactly one +9 donation"
+            )
+            assert fnd2[surv] == fnd1[surv] + 7
+
     def test_disabled_target_is_identity(self, rng):
         m, n = build_duplicated_map(rng)
         cand = m.kf_obs_point[0]

@@ -48,13 +48,15 @@ def main():
 
     variants = [
         ("full (tri3, fuse4, ba 5+10)", dict()),
+        ("ba 4+6", dict(ba_iters=(4, 6))),
+        ("ba 4+6 window 6", dict(ba_iters=(4, 6), ba_window=6)),
+        ("ba 4+6 pts 1024", dict(ba_iters=(4, 6), ba_points=1024)),
         ("ba 1+1", dict(ba_iters=(1, 1))),
         ("ba 0+0", dict(ba_iters=(0, 0))),
         ("no triangulation", dict(n_tri_neighbors=0)),
         ("no fusion", dict(n_fuse_neighbors=0)),
         ("fusion 2 neighbors", dict(n_fuse_neighbors=2)),
         ("tri 2 neighbors", dict(n_tri_neighbors=2)),
-        ("pts 2048", dict(ba_points=2048)),
         ("window 6", dict(ba_window=6)),
     ]
 
