@@ -30,6 +30,10 @@ class InsertResult(NamedTuple):
     kf_id: jnp.ndarray
     culled_kf: jnp.ndarray   # () int32 — keyframe tombstoned this round (−1 none)
     view: object             # track_view.TrackView around the new keyframe
+    n_ref: jnp.ndarray       # () int32 — tracked-observation count of the new
+                             # keyframe (the host's n_ref_tracked statistic;
+                             # computed here so the host needn't dispatch a
+                             # separate reduction per insertion)
 
 
 @partial(
@@ -327,4 +331,7 @@ def insert_keyframe_fused(
         max_dist=m.pt_max_dist[safe_v],
     )
 
-    return InsertResult(m=m, kf_id=kf_id, culled_kf=culled, view=view)
+    return InsertResult(
+        m=m, kf_id=kf_id, culled_kf=culled, view=view,
+        n_ref=jnp.sum((obs_point >= 0).astype(jnp.int32)),
+    )

@@ -153,6 +153,8 @@ class SlamSystem:
         self.logs: list[FrameLog] = []
         self._seed = 0
         self._key = jax.random.PRNGKey(self._seed)
+        self._rolling_key = None     # device copy, advanced by the fused program
+        self._dt_cache: dict = {}
         self.frames_since_init = 0
         # place recognition state
         self.voc: voc_mod.Vocabulary | None = None
@@ -218,12 +220,29 @@ class SlamSystem:
         return k
 
     def _frame_key(self):
-        """Per-frame PRNG key built on the HOST (raw threefry uint32 pair from
-        the seed + frame counter) — jax.random.split here would be one extra
-        device dispatch per tracked frame, a full tunnel round trip."""
-        return jnp.asarray(
-            np.asarray([0x9E3779B9 ^ self._seed, self.frame_id], np.uint32)
-        )
+        """Per-frame PRNG key: a raw threefry uint32 pair (seed word, frame
+        counter) — jax.random.split here would be one extra device dispatch
+        per tracked frame, a full tunnel round trip. The first WORKING frame
+        transfers it once; afterwards the fused program increments it ON
+        DEVICE (FusedTrackResult.next_key), so steady-state frames pay no h2d
+        for the key at all."""
+        if self._rolling_key is None:
+            self._rolling_key = jnp.asarray(
+                np.asarray([0x9E3779B9 ^ self._seed, self.frame_id], np.uint32)
+            )
+        return self._rolling_key
+
+    def _dt_const(self, dt: float):
+        """Device scalar for the frame interval, cached by value: sequences
+        run at fixed fps, so this is one transfer per unique dt instead of
+        one per frame."""
+        k = round(float(dt), 6)
+        v = self._dt_cache.get(k)
+        if v is None:
+            if len(self._dt_cache) > 16:
+                self._dt_cache.clear()
+            v = self._dt_cache[k] = jnp.asarray(k, jnp.float32)
+        return v
 
     def process(self, img: jnp.ndarray, timestamp: float) -> FrameLog:
         cfg_now = (
@@ -360,7 +379,7 @@ class SlamSystem:
             self.cam, self.orb_cfg, self.map, self.track_view, img,
             self.last_pose, self.last_obs, self.last_frame.uv,
             self.velocity if cfg.use_motion_model else se3.identity_pose(),
-            jnp.asarray(dt, jnp.float32), self._frame_key(),
+            self._dt_const(dt), self._frame_key(),
             scale=cfg.scale, n_levels=cfg.n_levels,
             gf_budget=cfg.gf_budget, use_gf=use_gf, gf_mode=cfg.gf_mode,
             gf_batch=cfg.gf_batch,
@@ -373,6 +392,7 @@ class SlamSystem:
             response=jnp.zeros_like(res.frame_angle), valid=res.frame_valid,
         )
         # Advance rolling device state without any host sync.
+        self._rolling_key = res.next_key
         self.map = self.map._replace(pt_visible=res.pt_visible, pt_found=res.pt_found)
         self.velocity = res.velocity
         self.last_pose = res.pose
@@ -452,6 +472,7 @@ class SlamSystem:
         self.lost_frames = 0
         self._inflight = []
         self._pending_kf = []
+        self._rolling_key = None
         self.track_view = tv.empty_view(self.cfg.view_size, self.cfg.max_points)
 
     def warmup_compile(self):
@@ -465,7 +486,7 @@ class SlamSystem:
         # register_and_detect donates the db argument — warm on a copy so the
         # live database rows are untouched and its buffers stay valid.
         db_copy = jax.tree.map(jnp.copy, self.bow_db)
-        _, _, cand, ok = kdb.register_and_detect(
+        _, _, _, _, cand, ok = kdb.register_and_detect(
             db_copy, self.voc.centers, self.voc.weights,
             self.voc.children, self.voc.word_of_node, self.map,
             jnp.asarray(max(self.n_kf - 1, 0)),
@@ -500,6 +521,7 @@ class SlamSystem:
             else:
                 self.state = State.LOST
                 self.last_frame = frame_now  # reloc can reuse this extraction
+                self._rolling_key = None
             return False
 
         n_inliers = int(n_inl_np)
@@ -539,14 +561,10 @@ class SlamSystem:
                 self._compact_keyframes()
             if self.n_kf < self.cfg.max_keyframes - 1:
                 self.time_log.begin("keyframe_insert")
-                track_like = tracking.LocalMapTrackResult(
-                    pose=res.pose, obs_point=res.obs_point, n_inliers=res.n_inliers,
-                    ok=res.ok, local_points=res.pt_visible_add,
-                    gf_selected=jnp.zeros_like(self.map.pt_valid),
-                    visible_points=res.pt_visible_add, found_points=res.pt_found_add,
-                    n_total=res.n_total,
+                self._insert_keyframe(
+                    frame_now, res.pose, res.obs_point, timestamp,
+                    frame_id=frame_id,
                 )
-                self._insert_keyframe(frame_now, track_like, timestamp, frame_id=frame_id)
                 self.time_log.end("keyframe_insert")
         return True
 
@@ -634,17 +652,20 @@ class SlamSystem:
         """DetectLoop + ComputeSim3 + CorrectLoop for the (just-finalized)
         keyframe; candidates/covisibility were dispatched at insertion time."""
         m = self.map
-        covis = pending["covis"]
-        # One combined fetch (candidates + covisibility) — one tunnel RTT,
-        # normally already resident via copy_to_host_async.
-        cand_np, ok_np, covis_np = jax.device_get(
-            (pending["cand"], pending["ok"], covis)
+        covis = pending["covis"]  # device-resident (K,K), used by correct_loop
+        # One combined fetch of the SMALL host-side pieces (candidate ids +
+        # the query/candidate covisibility rows, ~8 KB) — normally already
+        # resident via copy_to_host_async; the full matrix never crosses.
+        cand_np, ok_np, covq_np, covc_np = jax.device_get(
+            (pending["cand"], pending["ok"], pending["covis_q"],
+             pending["covis_c"])
         )
         # Exclude recent keyframes (temporal gap).
         ok_np = ok_np & (cand_np < kf_int - self.cfg.loop_min_kf_gap)
+        row_by_cand = {int(c): covc_np[i] for i, c in enumerate(cand_np)}
 
         def covis_row_of(c):
-            return np.nonzero(covis_np[c] > 15)[0].tolist()
+            return np.nonzero(row_by_cand[int(c)] > 15)[0].tolist()
 
         event = None
         if self.loop_gt_overlap is not None:
@@ -656,7 +677,7 @@ class SlamSystem:
             kfv = np.asarray(self.map.kf_valid)
             q_fid = int(fid[kf_int])
             opp = any(
-                covis_np[kf_int, k] <= 0
+                covq_np[k] <= 0
                 and self.loop_gt_overlap(q_fid, int(fid[k]))
                 for k in np.nonzero(kfv)[0]
                 if k < kf_int - self.cfg.loop_min_kf_gap
@@ -725,7 +746,7 @@ class SlamSystem:
         return False
 
     # ------------------------------------------------------------------
-    def _insert_keyframe(self, frame, track_res, timestamp, frame_id=None):
+    def _insert_keyframe(self, frame, pose, obs_point, timestamp, frame_id=None):
         """ref CreateNewKeyFrame + the LocalMapping::Run pipeline, fused into
         ONE device program (pipeline/local_mapping.py) — a single dispatch
         covers triangulation, culling, stat refresh, descriptors, windowed
@@ -753,10 +774,10 @@ class SlamSystem:
         if frame_id is None:
             frame_id = self.frame_id
         res = local_mapping.insert_keyframe_fused(
-            self.cam, self.map, track_res.pose, jnp.asarray(frame_id),
+            self.cam, self.map, pose, jnp.asarray(frame_id),
             jnp.asarray(timestamp, jnp.float32),
             pz(frame.uv), pz(frame.octave), pz(frame.angle), pz(frame.desc),
-            pz(frame.valid, False), pz(track_res.obs_point, ms.NO_POINT),
+            pz(frame.valid, False), pz(obs_point, ms.NO_POINT),
             scale=cfg.scale, n_levels=cfg.n_levels,
             ba_window=cfg.ba_window, ba_fixed=cfg.ba_fixed,
             n_tri_neighbors=cfg.triangulate_neighbors,
@@ -774,8 +795,9 @@ class SlamSystem:
         pending = {
             "kf_id": res.kf_id,
             "culled": res.culled_kf,
-            "ref": jnp.sum((track_res.obs_point >= 0).astype(jnp.int32)),
+            "ref": res.n_ref,
         }
+        covis_dev = None
         if self.voc is not None:
             # A keyframe culled inside this same insertion program is already
             # tombstoned in the map (covis row zero) but still valid in the
@@ -785,20 +807,28 @@ class SlamSystem:
             do_detect = bool(
                 cfg.enable_loop_closing and self.n_kf > cfg.loop_min_kf_gap
             )
-            self.bow_db, covis, cand, ok = kdb.register_and_detect(
-                self.bow_db, self.voc.centers, self.voc.weights,
-                self.voc.children, self.voc.word_of_node, self.map,
-                res.kf_id, res.culled_kf,
-                k=self.voc.k, L=self.voc.L, n_words=self.voc.n_words,
-                max_candidates=6, do_detect=do_detect,
+            self.bow_db, covis, covis_q, covis_c, cand, ok = (
+                kdb.register_and_detect(
+                    self.bow_db, self.voc.centers, self.voc.weights,
+                    self.voc.children, self.voc.word_of_node, self.map,
+                    res.kf_id, res.culled_kf,
+                    k=self.voc.k, L=self.voc.L, n_words=self.voc.n_words,
+                    max_candidates=6, do_detect=do_detect,
+                )
             )
             if do_detect:
-                pending.update(covis=covis, cand=cand, ok=ok)
+                # The full (K,K) matrix stays ON DEVICE for correct_loop;
+                # the host consistency/GT logic only needs the query row and
+                # the candidates' rows (~8 KB vs 262 KB over the tunnel).
+                covis_dev = covis
+                pending.update(covis_q=covis_q, covis_c=covis_c, cand=cand, ok=ok)
         for a in pending.values():
             try:
                 a.copy_to_host_async()
             except AttributeError:
                 break
+        if covis_dev is not None:
+            pending["covis"] = covis_dev
         self._pending_kf.append(pending)
 
     def _finalize_insertions(self):

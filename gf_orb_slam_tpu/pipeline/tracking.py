@@ -392,6 +392,10 @@ class FusedTrackResult(NamedTuple):
     pt_visible: jnp.ndarray    # (P,) int32 — already-incremented counters
     pt_found: jnp.ndarray      # (P,) int32
     n_total: jnp.ndarray       # () int32 — LM inliers + deferred matches
+    next_key: jnp.ndarray      # (2,) uint32 — rolling per-frame PRNG key for
+                               # the next frame (incremented on device: a
+                               # host-built key is one h2d transfer per
+                               # tracked frame through the tunnel)
 
 
 @partial(
@@ -477,6 +481,7 @@ def track_frame_fused(
         pt_visible=m.pt_visible + r2.visible_points.astype(jnp.int32),
         pt_found=m.pt_found + r2.found_points.astype(jnp.int32),
         n_total=r2.n_total,
+        next_key=key + jnp.asarray([0, 1], jnp.uint32),
     )
 
 

@@ -223,13 +223,17 @@ def register_and_detect(
     )
     db = add_keyframe(db, voc, kf_id, m.kf_kp_desc[kf_id], m.kf_kp_valid[kf_id])
     if not do_detect:
-        return db, None, None, None
+        return db, None, None, None, None, None
     covis = _ms.covisibility(m)
     cand, ok = detect_loop_candidates(
         db, covis, kf_id, max_candidates=max_candidates,
         exclude_kf=exclude_kf, n_words=n_words,
     )
-    return db, covis, cand, ok
+    # The host's consistency/GT logic needs only the query row and the
+    # candidates' rows of the covisibility matrix — returning them separately
+    # lets the host fetch ~8 KB instead of the full (K,K) 262 KB per
+    # insertion (the full matrix stays on device for correct_loop).
+    return db, covis, covis[kf_id], covis[cand], cand, ok
 
 
 def bow_match_mask(
