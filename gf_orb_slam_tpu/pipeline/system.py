@@ -161,6 +161,7 @@ class SlamSystem:
         self.bow_db: kdb.BowDatabase | None = None
         self.loop_detector = loop_closing.LoopDetector()
         self.n_loops_closed = 0
+        self.n_compactions = 0   # keyframe-slab compactions (endurance metric)
         # Loop-recall evaluation hook (synthetic GT only): a callable
         # (frame_id_query, frame_id_old) -> bool "GT frusta overlap". When
         # set, every loop-detection round appends an event to loop_events
@@ -572,6 +573,7 @@ class SlamSystem:
         """Renumber live keyframes to the front, apply the same permutation to
         the BoW database, and reset host-side id-keyed loop state."""
         self._finalize_insertions()
+        self.n_compactions += 1
         m2, perm, n_valid = ms.compact_keyframes(self.map)
         self.map = m2
         if self.bow_db is not None:
