@@ -68,15 +68,18 @@ class SlamConfig:
                                     # (local windows carry ≤~2k live points on
                                     # the bench/circuit scenes; the Schur
                                     # tensors scale linearly in this)
-    ba_iters: tuple = (4, 6)        # windowed-BA LM iterations per stage (ref
-                                    # LocalBundleAdjustment runs 5-then-10,
-                                    # Optimizer.cc:1672-1723, but routinely
-                                    # aborts BA mid-flight under load via
-                                    # mbAbortBA — a smaller static count is
-                                    # the anytime-budget analogue). Round-5
-                                    # A/B on the room circuit: (4,6) ≤ (5,10)
-                                    # ATE on both scene seeds (2.04/2.98 vs
-                                    # 2.23/3.34 cm) at ~6.5 ms less on chip.
+    ba_iters: tuple = (5, 10)       # windowed-BA LM iterations per stage (ref
+                                    # LocalBundleAdjustment's 5-then-10,
+                                    # Optimizer.cc:1672-1723). Round 5 tried
+                                    # (4,6) — ~6.5 ms less on chip, and ATE
+                                    # matched (5,10) on two GF-100 circuit
+                                    # seeds — but scene seed 2 at budget 0
+                                    # (pipelined) decayed to tracking LOSS by
+                                    # frame ~50: the young map built during
+                                    # cadence-floor insertion never refines
+                                    # enough. Early-map quality needs the
+                                    # full schedule; do not trim this without
+                                    # a full budget×scene sweep.
     min_init_matches: int = 80
     triangulate_neighbors: int = 3
     # place recognition / loop closing
