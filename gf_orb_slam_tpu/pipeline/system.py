@@ -81,6 +81,20 @@ class SlamConfig:
                                     # full schedule; do not trim this without
                                     # a full budget×scene sweep.
     min_init_matches: int = 80
+    init_min_points: int = 0        # >0: POST-init quality gate — reject a
+                                    # two-view bootstrap whose map holds
+                                    # fewer surviving points after the
+                                    # initial BA (the reference resets when
+                                    # the post-init map tracks <100 points,
+                                    # Tracking.cc CreateInitialMap). Round-5
+                                    # sweep diagnosis: scene seed 1's init
+                                    # is knife-edge under TPU numerics — a
+                                    # weak retry map drifts to ~19 cm while
+                                    # the same cell on CPU lands at 2.5 cm.
+                                    # Default 0 (off) because the round-5
+                                    # one-config sweep was measured without
+                                    # it; round 6 should default it to ~100
+                                    # and re-sweep.
     triangulate_neighbors: int = 3
     # place recognition / loop closing
     enable_loop_closing: bool = True
@@ -351,6 +365,16 @@ class SlamSystem:
         # Global BA on the initial two views (ref GlobalBundleAdjustemnt 20 it).
         m = self._run_local_ba(m, [0, 1], fixed_ids=[0], iters=(8, 12))
         m = ms.refresh_point_stats(m, scale=self.cfg.scale, n_levels=self.cfg.n_levels)
+        if self.cfg.init_min_points > 0:
+            # Post-init quality gate (ref: "Wrong initialization" reset when
+            # the bootstrap map is too thin): count observations that
+            # SURVIVED the initial BA's outlier classification in the second
+            # keyframe — a marginal H/F model loses most of them even when
+            # triangulation accepted many pairs.
+            n_surv = int(jax.device_get(jnp.sum(m.kf_obs_point[1] >= 0)))
+            if n_surv < self.cfg.init_min_points:
+                self.state = State.NOT_INITIALIZED  # retry from a later frame
+                return
         self.map = m
 
         self.track_view = tv.compute_track_view(m, jnp.asarray(1), view_size=self.cfg.view_size)

@@ -164,3 +164,33 @@ class TestTimeLog:
         assert len(lines) == 2 and lines[0].startswith("#")
         s = tl.summary()
         assert s["total"]["mean_ms"] >= 0
+
+
+class TestInitQualityGate:
+    """Post-init quality gate (ref Tracking.cc CreateInitialMap resets when
+    the bootstrap map is too thin; round-5 sweep diagnosis: a marginal
+    two-view model that survives initialization drifts for the whole run)."""
+
+    def _run(self, init_min_points):
+        from gf_orb_slam_tpu.io_utils import synthetic
+        from gf_orb_slam_tpu.pipeline.system import SlamConfig, SlamSystem
+
+        cam = camera.CameraModel(fx=458.0, fy=458.0, cx=376.0, cy=240.0,
+                                 width=752, height=480, fps=20.0)
+        scene = synthetic.make_scene(seed=0)
+        ts, poses_gt = synthetic.trajectory(14, fps=20.0)
+        s = SlamSystem(cam, SlamConfig(init_min_points=init_min_points))
+        for i in range(14):
+            s.process(synthetic.render(scene, cam, jnp.asarray(poses_gt[i])),
+                      float(ts[i]))
+        s.flush()
+        return s
+
+    def test_impossible_gate_refuses_initialization(self):
+        s = self._run(10**6)
+        assert s.state.name != "WORKING"
+        assert s.n_kf == 0
+
+    def test_reference_gate_initializes(self):
+        s = self._run(100)
+        assert s.state.name == "WORKING"
