@@ -49,6 +49,10 @@ def main(argv=None):
     ap.add_argument("--gf-warmup", type=int, default=-1,
                     help="frames after init before GF activates (ref: GF off "
                          "first 5 s, Tracking.h:104); -1 keeps the config default")
+    ap.add_argument("--init-gate", type=int, default=-1,
+                    help="post-init quality gate: min BA-surviving points to "
+                         "accept a two-view bootstrap (ref resets when the "
+                         "post-init map is too thin); -1 keeps config default")
     ap.add_argument("--n-features", type=int, default=0, help="override ORB feature count")
     ap.add_argument("--max-frames", type=int, default=0, help="cap processed frames")
     ap.add_argument("--out", default="results/run", help="output prefix")
@@ -103,6 +107,8 @@ def main(argv=None):
         cfg.gf_mode = args.gf_mode
     if args.gf_warmup >= 0:
         cfg.gf_warmup_frames = args.gf_warmup
+    if args.init_gate >= 0:
+        cfg.init_min_points = args.init_gate
     if args.pipeline > 1:
         cfg.pipelined = True
         cfg.pipeline_depth = args.pipeline
